@@ -1,0 +1,62 @@
+"""Checkpoint tests: portable format round-trip, Orbax resume, latest_step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu1x.model_zoo import genie_tiny
+from tpu1x.models.st_maskgit import STMaskGIT
+from tpu1x.train.checkpoint import (Checkpointer, load_pretrained,
+                                    save_pretrained)
+from tpu1x.train.optim import build_optimizer
+from tpu1x.train.step import create_train_state, make_train_step
+
+
+def test_save_load_pretrained(tmp_path):
+    cfg = genie_tiny()
+    model = STMaskGIT(cfg)
+    ids = jnp.zeros((1, cfg.T * cfg.S), dtype=jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, ids)["params"]
+    save_pretrained(tmp_path / "ckpt", params, cfg)
+
+    loaded, cfg2 = load_pretrained(tmp_path / "ckpt", target_params=params)
+    assert cfg2.num_layers == cfg.num_layers
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # logits identical through a save/load cycle
+    out_a = model.apply({"params": params}, ids.reshape(1, cfg.T, 4, 4),
+                        method=STMaskGIT.compute_logits)
+    out_b = model.apply({"params": loaded}, ids.reshape(1, cfg.T, 4, 4),
+                        method=STMaskGIT.compute_logits)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_orbax_resume_exact(tmp_path):
+    """Save at step 2, train to 4; restore and retrain -> identical params."""
+    cfg = genie_tiny()
+    model = STMaskGIT(cfg)
+    tx = build_optimizer(cfg, learning_rate=1e-3, num_training_steps=10)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), cfg)
+    step = make_train_step(model, tx, cfg, donate=False)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, cfg.T, 4, 4), 0,
+                                cfg.image_vocab_size, dtype=jnp.int32)
+
+    for _ in range(2):
+        state, _ = step(state, tokens)
+    ckpt = Checkpointer(tmp_path / "out")
+    ckpt.save(state, "step_2")
+    for _ in range(2):
+        state, _ = step(state, tokens)
+    final_a = jax.tree_util.tree_leaves(state.params)[0]
+
+    restored = ckpt.restore("step_2", jax.device_get(state))
+    assert int(restored.step) == 2
+    state_b = jax.tree_util.tree_map(jnp.asarray, restored)
+    for _ in range(2):
+        state_b, _ = step(state_b, tokens)
+    final_b = jax.tree_util.tree_leaves(state_b.params)[0]
+    np.testing.assert_allclose(np.asarray(final_a), np.asarray(final_b),
+                               rtol=1e-6)
+    assert ckpt.latest_step() == 2

@@ -1,0 +1,142 @@
+"""Training step tests: overfit-one-batch, schedules, sharded multi-device step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu1x.config import GenieConfig
+from tpu1x.model_zoo import genie_tiny
+from tpu1x.models.st_maskgit import STMaskGIT
+from tpu1x.parallel.mesh import batch_sharding, make_mesh
+from tpu1x.train.optim import build_lr_schedule, build_optimizer
+from tpu1x.train.step import (create_train_state, make_eval_step,
+                              make_train_step, shard_train_state)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return genie_tiny(T=8, num_prompt_frames=2)
+
+
+def make_tokens(cfg, B=4, seed=0):
+    return jax.random.randint(jax.random.PRNGKey(seed),
+                              (B, cfg.T, cfg.latent_side_len, cfg.latent_side_len),
+                              0, cfg.image_vocab_size, dtype=jnp.int32)
+
+
+class TestSchedules:
+    def test_linear(self):
+        s = build_lr_schedule("linear", 1.0, 10, 110)
+        assert float(s(0)) < 0.2
+        np.testing.assert_allclose(float(s(10)), 1.0, rtol=1e-5)
+        np.testing.assert_allclose(float(s(110)), 0.0, atol=1e-6)
+
+    def test_custom_cosine_decays_to_10pct(self):
+        s = build_lr_schedule("custom_cosine", 1.0, 10, 110)
+        np.testing.assert_allclose(float(s(110)), 0.1, rtol=1e-4)
+        np.testing.assert_allclose(float(s(10)), 1.0, rtol=1e-3)
+
+    def test_constant_with_warmup(self):
+        s = build_lr_schedule("constant_with_warmup", 2.0, 5, 100)
+        assert float(s(2)) < 2.0
+        np.testing.assert_allclose(float(s(50)), 2.0)
+
+
+class TestTrainStep:
+    def test_overfit_first_batch(self, cfg):
+        """Loss must drop markedly when repeatedly training on one batch
+        (the reference's --overfit_first_batch debug mode, train.py:204-210)."""
+        model = STMaskGIT(cfg)
+        tx = build_optimizer(cfg, learning_rate=1e-2, num_training_steps=1000,
+                             lr_scheduler_type="constant")
+        state = create_train_state(model, tx, jax.random.PRNGKey(0), cfg)
+        step = make_train_step(model, tx, cfg, donate=False)
+        tokens = make_tokens(cfg)
+        first = None
+        losses = []
+        for i in range(80):
+            state, metrics = step(state, tokens)
+            losses.append(float(metrics["loss"]))
+            if first is None:
+                first = float(metrics["loss"])
+        last = np.mean(losses[-10:])  # masking re-randomizes per step; average
+        assert np.isfinite(last)
+        assert last < first * 0.85, (first, last)
+        assert int(state.step) == 80
+
+    def test_metrics_and_grad_norm(self, cfg):
+        model = STMaskGIT(cfg)
+        tx = build_optimizer(cfg, learning_rate=1e-4, max_grad_norm=1.0,
+                             num_training_steps=10)
+        state = create_train_state(model, tx, jax.random.PRNGKey(0), cfg)
+        step = make_train_step(model, tx, cfg, donate=False)
+        _, metrics = step(state, make_tokens(cfg))
+        assert set(metrics) == {"loss", "acc", "grad_norm"}
+        assert float(metrics["grad_norm"]) > 0
+
+    def test_grad_accumulation(self, cfg):
+        model = STMaskGIT(cfg)
+        tx = build_optimizer(cfg, learning_rate=1e-3, num_training_steps=10,
+                             gradient_accumulation_steps=2)
+        state = create_train_state(model, tx, jax.random.PRNGKey(0), cfg)
+        step = make_train_step(model, tx, cfg, donate=False)
+        p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+        state, _ = step(state, make_tokens(cfg))
+        p1 = jax.tree_util.tree_leaves(state.params)[0]
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))  # accum step
+        state, _ = step(state, make_tokens(cfg, seed=1))
+        p2 = jax.tree_util.tree_leaves(state.params)[0]
+        assert not np.array_equal(np.asarray(p0), np.asarray(p2))  # update step
+
+    def test_mup_optimizer_builds_and_steps(self, cfg):
+        mcfg = genie_tiny(T=8, use_mup=True, d_model=32, mup_base_d_model=16)
+        model = STMaskGIT(mcfg)
+        tx = build_optimizer(mcfg, learning_rate=1e-3, num_training_steps=10,
+                             mu_transfer=True)
+        state = create_train_state(model, tx, jax.random.PRNGKey(0), mcfg)
+        step = make_train_step(model, tx, mcfg, donate=False)
+        state, metrics = step(state, make_tokens(mcfg))
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_eval_step(self, cfg):
+        model = STMaskGIT(cfg)
+        tx = build_optimizer(cfg, learning_rate=1e-3, num_training_steps=10)
+        state = create_train_state(model, tx, jax.random.PRNGKey(0), cfg)
+        ev = make_eval_step(model, cfg)
+        metrics = ev(state.params, make_tokens(cfg), jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+
+
+class TestShardedTraining:
+    @pytest.mark.parametrize("dp,tp,fsdp", [(8, 1, False), (4, 2, False),
+                                            (4, 2, True)])
+    def test_multi_device_step(self, cfg, dp, tp, fsdp):
+        """Full train step over a dp x tp mesh on the 8 virtual CPU devices."""
+        mesh = make_mesh(dp=dp, tp=tp)
+        model = STMaskGIT(cfg)
+        tx = build_optimizer(cfg, learning_rate=1e-3, num_training_steps=10)
+        state = create_train_state(model, tx, jax.random.PRNGKey(0), cfg)
+        state, _ = shard_train_state(state, mesh, fsdp=fsdp)
+        tokens = jax.device_put(make_tokens(cfg, B=8), batch_sharding(mesh))
+        step = make_train_step(model, tx, cfg, donate=False)
+        state, metrics = step(state, tokens)
+        assert np.isfinite(float(metrics["loss"]))
+        state, metrics2 = step(state, tokens)
+        assert float(metrics2["loss"]) != float(metrics["loss"])
+
+    def test_dp_matches_single_device(self, cfg):
+        """The sharded step computes the same loss as the unsharded step."""
+        model = STMaskGIT(cfg)
+        tx = build_optimizer(cfg, learning_rate=1e-3, num_training_steps=10)
+        state = create_train_state(model, tx, jax.random.PRNGKey(0), cfg)
+        tokens = make_tokens(cfg, B=8)
+        step = make_train_step(model, tx, cfg, donate=False)
+        _, m_single = step(state, tokens)
+
+        mesh = make_mesh(dp=8, tp=1)
+        state_sharded, _ = shard_train_state(state, mesh)
+        tokens_sharded = jax.device_put(tokens, batch_sharding(mesh))
+        _, m_sharded = step(state_sharded, tokens_sharded)
+        np.testing.assert_allclose(float(m_single["loss"]),
+                                   float(m_sharded["loss"]), rtol=1e-5)

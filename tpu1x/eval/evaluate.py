@@ -1,0 +1,230 @@
+"""Temporally teacher-forced evaluator — the challenge protocol.
+
+Behavioral contract matches the reference `genie/evaluate.py`:
+- For each frame t in [1, T): condition on ground-truth frames < t,
+  MaskGIT-decode frame t; collect per-frame samples and *step-0* factored
+  logits (ref: 82-122).
+- Metrics: challenge CE (`compute_loss`), exact-token accuracy, per-frame
+  generation/decode timing, LPIPS on decoded frames (ref: 167-191).
+
+TPU-first redesign (SURVEY.md §7.7): the T-1 frame tasks of an example are
+independent given ground truth, so instead of the reference's Python loop
+((T-1) x maskgit_steps sequential forwards), each eval example expands into
+T-1 batch *rows* with a per-row out_t, and one batched `maskgit_generate`
+call decodes every frame of every example in maskgit_steps forwards total.
+Rows are chunked to bound activation memory; the whole evaluator is a single
+jitted program per chunk and shards rows across the mesh's devices.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu1x.config import GenieConfig
+from tpu1x.data.token_store import RawTokenDataset
+from tpu1x.eval.metrics import AvgMetric, compute_loss, token_accuracy
+from tpu1x.models.sampler import maskgit_generate
+from tpu1x.models.st_maskgit import STMaskGIT
+
+
+class GenieEvaluator:
+    """Batched teacher-forced evaluator (reference: evaluate.py:69-142)."""
+
+    def __init__(self, model: STMaskGIT, params, config: GenieConfig,
+                 maskgit_steps: int = 2, temperature: float = 0.0,
+                 rows_per_chunk: int = 64):
+        self.model = model
+        self.params = params
+        self.config = config
+        self.maskgit_steps = maskgit_steps
+        self.temperature = temperature
+        self.rows_per_chunk = rows_per_chunk
+
+        def logits_fn(tokens_BTHW):
+            return model.apply({"params": self.params}, tokens_BTHW,
+                               method=STMaskGIT.compute_logits)
+
+        self._gen = jax.jit(functools.partial(
+            maskgit_generate, logits_fn, config=config,
+            maskgit_steps=maskgit_steps, temperature=temperature))
+
+    def predict_zframe_logits(self, input_ids: np.ndarray, rng: jax.Array
+                              ) -> Tuple[np.ndarray, np.ndarray]:
+        """(B, T*H*W) tokens -> (samples (B,T-1,H,W), logits (B,V,F,T-1,H,W)).
+
+        All T-1 frame tasks run as parallel batch rows (one row = one
+        (example, target-frame) pair with frames >= t masked).
+        """
+        cfg = self.config
+        T, h, w = cfg.T, cfg.latent_side_len, cfg.latent_side_len
+        B = input_ids.shape[0]
+        tokens = np.asarray(input_ids, dtype=np.int32).reshape(B, T, h, w)
+
+        # rows: example-major, frame-minor
+        rows = np.repeat(tokens, T - 1, axis=0)  # (B*(T-1), T, h, w)
+        out_t = np.tile(np.arange(1, T, dtype=np.int32), B)
+        frame_idx = np.arange(T, dtype=np.int32)
+        masked = np.where(frame_idx[None, :, None, None] < out_t[:, None, None, None],
+                          rows, cfg.mask_token_id).astype(np.int32)
+
+        n_rows = masked.shape[0]
+        chunk = self.rows_per_chunk
+        samples_rows = []
+        logits_rows = []
+        for lo in range(0, n_rows, chunk):
+            hi = min(lo + chunk, n_rows)
+            pad = chunk - (hi - lo)
+            chunk_tokens = masked[lo:hi]
+            chunk_out_t = out_t[lo:hi]
+            if pad:
+                chunk_tokens = np.concatenate(
+                    [chunk_tokens, np.repeat(chunk_tokens[-1:], pad, axis=0)])
+                chunk_out_t = np.concatenate(
+                    [chunk_out_t, np.repeat(chunk_out_t[-1:], pad)])
+            rng, sub = jax.random.split(rng)
+            s, l = self._gen(jnp.asarray(chunk_tokens), jnp.asarray(chunk_out_t),
+                             sub)
+            samples_rows.append(np.asarray(s[:hi - lo]))
+            logits_rows.append(np.asarray(l[:hi - lo]))
+
+        samples = np.concatenate(samples_rows).reshape(B, T - 1, h, w)
+        logits = np.concatenate(logits_rows)  # (B*(T-1), V, F, h, w)
+        V, F = logits.shape[1], logits.shape[2]
+        logits = logits.reshape(B, T - 1, V, F, h, w).transpose(0, 2, 3, 1, 4, 5)
+        return samples, logits
+
+
+def evaluate_dataset(
+    evaluator: GenieEvaluator,
+    dataset: RawTokenDataset,
+    batch_size: int = 16,
+    max_examples: Optional[int] = None,
+    decode_latents: Optional[Callable] = None,
+    lpips_fn: Optional[Callable] = None,
+    save_outputs_dir: Optional[str] = None,
+    seed: int = 42,
+    verbose: bool = True,
+) -> dict:
+    """Evaluate the challenge metrics over a token dataset
+    (reference: evaluate.py:145-204)."""
+    cfg = evaluator.config
+    rng = jax.random.PRNGKey(seed)
+    metrics = {k: AvgMetric() for k in ("loss", "acc", "gen_time", "dec_time")}
+    outputs = {k: [] for k in ("pred_logits", "gtruth_tokens", "pred_tokens",
+                               "pred_frames", "gtruth_frames")}
+
+    n = len(dataset) if max_examples is None else min(len(dataset), max_examples)
+    for lo in range(0, n - n % batch_size or batch_size, batch_size):
+        if lo + batch_size > n:
+            break
+        idx = np.arange(lo, lo + batch_size)
+        tokens_BTHW = dataset.get_batch(idx)
+        input_ids = tokens_BTHW.reshape(batch_size, -1)
+
+        rng, sub = jax.random.split(rng)
+        start = time.time()
+        samples, factored_logits = evaluator.predict_zframe_logits(input_ids, sub)
+        frames_per_batch = (cfg.T - 1) * batch_size
+        metrics["gen_time"].update((time.time() - start) / frames_per_batch,
+                                   batch_size)
+
+        loss = compute_loss(input_ids, factored_logits,
+                            cfg.num_factored_vocabs, cfg.factored_vocab_size)
+        acc = token_accuracy(tokens_BTHW, samples)
+        metrics["loss"].update(loss, batch_size)
+        metrics["acc"].update(acc, batch_size)
+
+        if decode_latents is not None:
+            start = time.time()
+            pred_frames = decode_latents(samples.reshape(-1, *samples.shape[2:]))
+            pred_frames = pred_frames.reshape(batch_size, cfg.T - 1,
+                                              *pred_frames.shape[1:])
+            metrics["dec_time"].update((time.time() - start) / frames_per_batch,
+                                       batch_size)
+            gtruth_frames = decode_latents(
+                tokens_BTHW[:, 1:].reshape(-1, *samples.shape[2:]))
+            gtruth_frames = gtruth_frames.reshape(batch_size, cfg.T - 1,
+                                                  *gtruth_frames.shape[1:])
+            if lpips_fn is not None:
+                metrics.setdefault("pred_lpips", AvgMetric()).update_list(
+                    lpips_fn(gtruth_frames, pred_frames))
+            if save_outputs_dir is not None:
+                outputs["pred_frames"].append(pred_frames)
+                outputs["gtruth_frames"].append(gtruth_frames)
+
+        if save_outputs_dir is not None:
+            outputs["pred_logits"].append(factored_logits)
+            outputs["gtruth_tokens"].append(tokens_BTHW)
+            outputs["pred_tokens"].append(samples)
+
+        if verbose:
+            print({k: round(v.mean(), 4) for k, v in metrics.items()})
+
+    if save_outputs_dir is not None:
+        from pathlib import Path
+        out = Path(save_outputs_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        for key, vals in outputs.items():
+            if vals:
+                np.save(out / f"{key}.npy", np.concatenate(vals, axis=0))
+
+    return {k: v.mean() for k, v in metrics.items()}
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Evaluate GENIE-style models "
+                                            "(TPU-native).")
+    p.add_argument("--val_data_dir", type=str, default="data/val_v1.1")
+    p.add_argument("--checkpoint_dir", type=str, required=True,
+                   help="tpu1x save_pretrained dir, or a reference torch "
+                        "checkpoint dir")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--maskgit_steps", type=int, default=2)
+    p.add_argument("--temperature", type=float, default=0)
+    p.add_argument("--save_outputs_dir", type=str)
+    p.add_argument("--max_examples", type=int)
+    p.add_argument("--window_size", type=int, default=16)
+    p.add_argument("--stride", type=int, default=15)
+    p.add_argument("--rows_per_chunk", type=int, default=64)
+    p.add_argument("--tokenizer_ckpt", type=str, default=None,
+                   help="Optional MAGVIT2 tokenizer checkpoint for LPIPS.")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from tpu1x.train.checkpoint import load_pretrained
+
+    dataset = RawTokenDataset(args.val_data_dir, window_size=args.window_size,
+                              stride=args.stride, filter_overlaps=True)
+    params, config = load_pretrained(args.checkpoint_dir)
+    if isinstance(params, dict) and "params" in params:
+        params = params["params"]
+    model = STMaskGIT(config)
+
+    decode_latents = lpips_fn = None
+    if args.tokenizer_ckpt:
+        from tpu1x.eval.visualize import decode_latents_wrapper
+        decode_latents = decode_latents_wrapper(ckpt_path=args.tokenizer_ckpt)
+
+    evaluator = GenieEvaluator(model, params, config,
+                               maskgit_steps=args.maskgit_steps,
+                               temperature=args.temperature,
+                               rows_per_chunk=args.rows_per_chunk)
+    results = evaluate_dataset(
+        evaluator, dataset, batch_size=args.batch_size,
+        max_examples=args.max_examples, decode_latents=decode_latents,
+        lpips_fn=lpips_fn, save_outputs_dir=args.save_outputs_dir)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Generation CLI: autoregressive MaskGIT rollout of one (or more) examples.
+
+Behavioral contract matches the reference `genie/generate.py:62-120`:
+- Take example(s) from a token dataset, keep `num_prompt_frames` frames,
+  generate the remaining frames frame-by-frame with MaskGIT.
+- Write the token stream `[prompt | predicted | ground-truth]` to
+  `output_dir/video.bin` with a merged `metadata.json` carrying
+  `num_prompt_frames` / `window_size` for the visualizer
+  (ref: generate.py:97-116).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu1x.data.token_store import RawTokenDataset, write_token_dataset
+from tpu1x.models.sampler import generate
+from tpu1x.models.st_maskgit import STMaskGIT
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Generate frames with a "
+                                            "TPU-native GENIE model.")
+    p.add_argument("--val_data_dir", type=str, default="data/val_v1.1")
+    p.add_argument("--checkpoint_dir", type=str, required=True)
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--num_prompt_frames", type=int, default=8)
+    p.add_argument("--window_size", type=int, default=16)
+    p.add_argument("--stride", type=int, default=15)
+    p.add_argument("--example_ind", type=int, default=0)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="Generate this many consecutive examples at once "
+                        "(the reference does one; batching is free on TPU).")
+    p.add_argument("--maskgit_steps", type=int, default=2)
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from tpu1x.train.checkpoint import load_pretrained
+
+    dataset = RawTokenDataset(args.val_data_dir, window_size=args.window_size,
+                              stride=args.stride)
+    params, config = load_pretrained(args.checkpoint_dir)
+    if isinstance(params, dict) and "params" in params:
+        params = params["params"]
+    model = STMaskGIT(config)
+
+    def logits_fn(tokens_BTHW):
+        return model.apply({"params": params}, tokens_BTHW,
+                           method=STMaskGIT.compute_logits)
+
+    idx = np.arange(args.example_ind, args.example_ind + args.batch_size)
+    tokens_BTHW = dataset.get_batch(idx)  # (B, T, H, W)
+    B = tokens_BTHW.shape[0]
+    S = config.S
+    prompt = jnp.asarray(
+        tokens_BTHW[:, :args.num_prompt_frames].reshape(B, -1))
+
+    gen_jit = jax.jit(functools.partial(
+        generate, logits_fn, num_new_frames=args.window_size - args.num_prompt_frames,
+        config=config, maskgit_steps=args.maskgit_steps,
+        temperature=args.temperature))
+    start = time.time()
+    out_tokens, _ = gen_jit(prompt, rng=jax.random.PRNGKey(args.seed))
+    out_tokens = np.asarray(out_tokens)
+    n_new = args.window_size - args.num_prompt_frames
+    print(f"generated {B}x{n_new} frames in {time.time() - start:.2f}s")
+
+    # [prompt | predicted | ground truth] frame stream (generate.py:97-116)
+    h = config.latent_side_len
+    pred_frames = out_tokens.reshape(B, args.window_size, h, h)
+    gt_frames = tokens_BTHW
+    stream = np.concatenate([pred_frames, gt_frames[:, args.num_prompt_frames:]],
+                            axis=1).reshape(-1, h, h)
+
+    write_token_dataset(
+        args.output_dir, stream, hz=dataset.metadata.get("hz", 30) / args.stride,
+        vocab_size=config.image_vocab_size,
+        token_dtype=dataset.metadata.get("token_dtype", "uint32"),
+        extra_metadata={
+            "num_prompt_frames": args.num_prompt_frames,
+            "window_size": args.window_size,
+        })
+    print(f"wrote {Path(args.output_dir) / 'video.bin'}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,206 @@
+"""MaskGIT sampling as a fully jittable functional program.
+
+Behavioral contract matches the reference `genie/st_mask_git.py:65-229`
+(`maskgit_generate` / `generate`), re-expressed TPU-first:
+
+- The reference's in-place token/mask mutation loop becomes a functional
+  carry `(tokens, unmasked, rng)`; the data-dependent "re-mask the n least
+  confident tokens" becomes a rank computation (double argsort) + `where`,
+  so every shape is static and the whole rollout compiles into one XLA
+  program (no host round-trips per step/frame).
+- `out_t` is a per-batch-row array, which lets the evaluator decode all T-1
+  teacher-forced frame tasks of an example *in parallel* as batch rows
+  (the reference loops over t in Python, evaluate.py:107-119).
+- Temperature semantics match the reference exactly: <=1e-8 is greedy
+  (argmax); otherwise tokens are sampled from softmax(logits). (In the
+  reference, dividing probs by temperature before `Categorical` is a
+  mathematical no-op since Categorical renormalizes, st_mask_git.py:183-187 —
+  we reproduce the effective behavior.)
+- The cosine re-mask counts n(step) = ceil(cos((step+1)/steps * pi/2) * S)
+  are static Python ints (st_mask_git.py:197-199).
+- "random" unmask mode randomizes confidences (st_mask_git.py:204-206);
+  "greedy" uses the product of chosen-token probabilities (st_mask_git.py:190).
+
+Returned logits are the *step-0* logits, like the reference (st_mask_git.py:165).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu1x.config import GenieConfig
+from tpu1x.models.st_maskgit import cosine_schedule
+
+# logits_fn: (B, T, H, W) int32 tokens -> (B, T, S, V, F) float32 logits
+LogitsFn = Callable[[jnp.ndarray], jnp.ndarray]
+
+
+def _sample_frame(frame_logits_BSVF, rng, temperature: float, factored_vocab_size: int):
+    """Sample each factored vocab independently; combine ids and confidences.
+
+    Returns (samples_BS int32, confidences_BS float32).
+    Matches st_mask_git.py:177-190.
+    """
+    V = factored_vocab_size
+    F = frame_logits_BSVF.shape[-1]
+    probs = jax.nn.softmax(frame_logits_BSVF.astype(jnp.float32), axis=-2)
+
+    samples = jnp.zeros(frame_logits_BSVF.shape[:2], dtype=jnp.int32)
+    confidences = jnp.ones(frame_logits_BSVF.shape[:2], dtype=jnp.float32)
+    for f in range(F):
+        if temperature <= 1e-8:
+            digit = jnp.argmax(frame_logits_BSVF[..., f], axis=-1).astype(jnp.int32)
+        else:
+            rng, sub = jax.random.split(rng)
+            digit = jax.random.categorical(
+                sub, frame_logits_BSVF[..., f].astype(jnp.float32), axis=-1
+            ).astype(jnp.int32)
+        samples = samples + digit * (V ** f)
+        confidences = confidences * jnp.take_along_axis(
+            probs[..., f], digit[..., None], axis=-1)[..., 0]
+    return samples, confidences
+
+
+def maskgit_generate(
+    logits_fn: LogitsFn,
+    prompt_BTHW: jnp.ndarray,
+    out_t,
+    rng: jax.Array,
+    config: GenieConfig,
+    maskgit_steps: int = 2,
+    temperature: float = 0.0,
+    unmask_mode: str = "random",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Predict frame `out_t` with MaskGIT-style iterative decoding.
+
+    Args:
+        prompt_BTHW: (B, T, H, W) int32; frames >= out_t must be fully masked.
+        out_t: scalar int or (B,) int32 — per-row target frame (>= 1).
+        rng: PRNG key.
+        maskgit_steps, temperature, unmask_mode: static sampling hparams.
+
+    Returns: (sample_BHW, orig_factored_logits)
+        sample_BHW: (B, H, W) int32 predicted unfactorized tokens for out_t.
+        orig_factored_logits: (B, V, F, H, W) float32 step-0 logits
+            (the reference's return layout, st_mask_git.py:226-229).
+    """
+    assert unmask_mode in ("greedy", "random"), unmask_mode
+    B, T, H, W = prompt_BTHW.shape
+    S = H * W
+    V = config.factored_vocab_size
+    mask_id = config.mask_token_id
+    out_t = jnp.broadcast_to(jnp.asarray(out_t, dtype=jnp.int32), (B,))
+    t_iota = jnp.arange(T, dtype=jnp.int32)
+    is_out_frame = t_iota[None, :] == out_t[:, None]  # (B, T)
+
+    # Static per-step re-mask counts (st_mask_git.py:197-199).
+    n_per_step = [math.ceil(cosine_schedule((s + 1) / maskgit_steps) * S)
+                  for s in range(maskgit_steps - 1)]
+
+    def frame_of(tokens_BTHW):
+        """Select each row's out_t frame: (B, H, W)."""
+        return jnp.take_along_axis(
+            tokens_BTHW, out_t[:, None, None, None], axis=1)[:, 0]
+
+    tokens = prompt_BTHW
+    unmasked = jnp.zeros((B, S), dtype=bool)  # init_mask (st_mask_git.py:115-120)
+    orig_logits = None
+
+    for step in range(maskgit_steps):
+        logits_BTSVF = logits_fn(tokens)
+        frame_logits = jnp.take_along_axis(
+            logits_BTSVF, out_t[:, None, None, None, None], axis=1)[:, 0]  # (B,S,V,F)
+        if step == 0:
+            orig_logits = frame_logits
+
+        rng, sample_rng, conf_rng = jax.random.split(rng, 3)
+        samples_BS, confidences_BS = _sample_frame(
+            frame_logits, sample_rng, temperature, V)
+
+        prev_unmasked = unmasked
+        prev_frame_BS = frame_of(tokens).reshape(B, S)
+
+        if step != maskgit_steps - 1:
+            n = n_per_step[step]
+            if unmask_mode == "greedy":
+                conf = confidences_BS
+            else:  # "random": only relative order matters (st_mask_git.py:204-206)
+                conf = jax.random.uniform(conf_rng, (B, S), dtype=jnp.float32)
+            conf = jnp.where(unmasked, jnp.inf, conf)
+            # rank r means r tokens have lower confidence; the n least confident
+            # get re-masked, the rest become unmasked (st_mask_git.py:212-216).
+            order = jnp.argsort(conf, axis=1)
+            ranks = jnp.argsort(order, axis=1)
+            to_mask = ranks < n
+            samples_BS = jnp.where(to_mask, mask_id, samples_BS)
+            unmasked = ~to_mask
+        # previously unmasked positions keep their committed values (st_mask_git.py:219)
+        samples_BS = jnp.where(prev_unmasked, prev_frame_BS, samples_BS)
+
+        # functional write-back of the out_t frame (st_mask_git.py:223)
+        new_frame = samples_BS.reshape(B, 1, H, W)
+        tokens = jnp.where(is_out_frame[:, :, None, None], new_frame, tokens)
+
+    sample_BHW = frame_of(tokens)
+    # (B, S, V, F) -> (B, V, F, H, W)
+    orig_ref = jnp.moveaxis(orig_logits, 1, -1).reshape(B, V,
+                                                        orig_logits.shape[-1], H, W)
+    return sample_BHW, orig_ref
+
+
+def generate(
+    logits_fn: LogitsFn,
+    input_ids_BN: jnp.ndarray,
+    num_new_frames: int,
+    rng: jax.Array,
+    config: GenieConfig,
+    maskgit_steps: int = 2,
+    temperature: float = 0.0,
+    unmask_mode: str = "random",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Frame-by-frame autoregressive rollout (reference: st_mask_git.py:65-113).
+
+    Args:
+        input_ids_BN: (B, T_prompt * S) int32 flattened prompt tokens.
+        num_new_frames: frames to generate; total T must equal config.T.
+
+    Returns: (tokens_BN, factored_logits)
+        tokens_BN: (B, (T_prompt+num_new_frames) * S) int32, prompt + generated.
+        factored_logits: (B, V, F, num_new_frames, H, W) float32 per-frame
+            step-0 logits (the reference's stacked layout, st_mask_git.py:111).
+    """
+    h = w = config.latent_side_len
+    S = config.S
+    B = input_ids_BN.shape[0]
+    assert input_ids_BN.shape[1] % S == 0
+    num_prompt_frames = input_ids_BN.shape[1] // S
+    T = num_prompt_frames + num_new_frames
+    assert T == config.T, (T, config.T)
+
+    prompt = input_ids_BN.reshape(B, num_prompt_frames, h, w).astype(jnp.int32)
+    tokens = jnp.concatenate([
+        prompt,
+        jnp.full((B, num_new_frames, h, w), config.mask_token_id, dtype=jnp.int32),
+    ], axis=1)
+
+    def frame_step(carry, t):
+        tokens, rng = carry
+        rng, sub = jax.random.split(rng)
+        sample_BHW, flogits = maskgit_generate(
+            logits_fn, tokens, t, sub, config, maskgit_steps=maskgit_steps,
+            temperature=temperature, unmask_mode=unmask_mode)
+        t_iota = jnp.arange(T, dtype=jnp.int32)
+        tokens = jnp.where((t_iota == t)[None, :, None, None],
+                           sample_BHW[:, None], tokens)
+        return (tokens, rng), flogits
+
+    timesteps = jnp.arange(num_prompt_frames, T, dtype=jnp.int32)
+    (tokens, _), all_logits = jax.lax.scan(frame_step, (tokens, rng), timesteps)
+    # all_logits: (num_new_frames, B, V, F, H, W) -> (B, V, F, num_new, H, W)
+    factored_logits = jnp.moveaxis(all_logits, 0, 3)
+    return tokens.reshape(B, T * S), factored_logits

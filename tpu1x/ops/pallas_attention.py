@@ -1,0 +1,100 @@
+"""Fused attention Pallas TPU kernel for ST-transformer shapes.
+
+The reference's hot kernel is xformers/FlashAttention-2 CUDA
+(genie/attention.py:65, SURVEY.md §2b); this is its TPU-native replacement.
+
+Design for the actual ST workload (S=256 spatial / T=16 temporal, head_dim
+32, huge flattened batch):
+- A full (N, N) attention matrix at N<=256 is ~256 KB fp32 — it fits VMEM
+  outright, so no online-softmax tiling is needed. The win over XLA is
+  *fusion*: QK^T -> softmax -> PV in one kernel, so the (batch, heads, N, N)
+  probability tensor (268 MB per layer at B=16 for spatial attention) never
+  round-trips HBM.
+- Grid is (batch, heads); each program computes one head's attention with
+  two MXU dots and a VPU softmax.
+- Causal masking via 2D broadcasted_iota compare (no materialized tril).
+
+The pure-jnp `mha_reference` in tpu1x/ops/attention.py is the parity oracle
+(the reference's Basic-vs-MemoryEfficient test pattern, test_attention.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool):
+    q = q_ref[0, 0].astype(jnp.float32)  # (N, D)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0]
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (N, N)
+
+    if causal:
+        n = logits.shape[0]
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        logits = jnp.where(row >= col, logits, _NEG_INF)
+
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    probs = p / jnp.sum(p, axis=-1, keepdims=True)
+
+    out = jax.lax.dot_general(
+        probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "causal", "interpret"))
+def _flash_mha_bhnd(q, k, v, *, scale: float, causal: bool,
+                    interpret: bool = False):
+    """q, k, v: (B, H, N, D) -> (B, H, N, D)."""
+    B, H, N, D = q.shape
+    spec = pl.BlockSpec((1, 1, N, D), lambda b, h: (b, h, 0, 0),
+                        memory_space=pltpu.VMEM)
+    bytes_per = N * D * (q.dtype.itemsize + k.dtype.itemsize + 2 * v.dtype.itemsize)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, causal=causal),
+        out_shape=jax.ShapeDtypeStruct((B, H, N, D), v.dtype),
+        grid=(B, H),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * H * N * N * D,
+            bytes_accessed=B * H * bytes_per,
+            transcendentals=B * H * N * N,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def flash_mha(q, k, v, *, scale: float, causal: bool = False,
+              interpret: bool = False):
+    """Fused MHA matching `mha_reference`'s contract.
+
+    Args:
+        q, k, v: (..., N, num_heads, head_dim); arbitrary leading batch dims.
+    Returns: (..., N, num_heads, head_dim) in v.dtype.
+    """
+    *batch, N, H, D = q.shape
+    bsz = 1
+    for b in batch:
+        bsz *= b
+
+    def to_bhnd(x):
+        return x.reshape(bsz, N, H, D).transpose(0, 2, 1, 3)
+
+    out = _flash_mha_bhnd(to_bhnd(q), to_bhnd(k), to_bhnd(v), scale=scale,
+                          causal=causal, interpret=interpret)
+    return out.transpose(0, 2, 1, 3).reshape(*batch, N, H, D)

@@ -1,0 +1,185 @@
+"""Checkpointing: Orbax full-training-state + portable HF-style params.
+
+Dual-format, matching the reference's strategy (SURVEY.md §5.4,
+train.py:233-244):
+- `save_pretrained` / `load_pretrained`: config.json + params in a single
+  msgpack file (`flax.serialization`) — the portable model-only format
+  (the reference uses HF safetensors via PyTorchModelHubMixin).
+- `Checkpointer`: Orbax async-capable full training state
+  (params + optimizer + step + rng) for exact resume
+  (the reference uses accelerate save_state/load_state, train.py:565-604).
+
+Also provides the torch->JAX parameter converter for reference STMaskGIT
+checkpoints (st_mask_git.py naming), so published GENIE weights can be
+loaded once available.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import flax.serialization
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+
+from tpu1x.config import GenieConfig
+
+
+# ---------------------------------------------------------------------------
+# portable model-only format
+# ---------------------------------------------------------------------------
+
+def save_pretrained(save_dir, params: Any, config: GenieConfig) -> None:
+    save_dir = Path(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    config.save_pretrained(save_dir / "config.json")
+    with open(save_dir / "params.msgpack", "wb") as f:
+        f.write(flax.serialization.to_bytes(jax.device_get(params)))
+
+
+def load_pretrained(save_dir, target_params: Optional[Any] = None
+                    ) -> tuple[Any, GenieConfig]:
+    save_dir = Path(save_dir)
+    config = GenieConfig.from_pretrained(save_dir / "config.json")
+    with open(save_dir / "params.msgpack", "rb") as f:
+        data = f.read()
+    if target_params is not None:
+        params = flax.serialization.from_bytes(target_params, data)
+    else:
+        params = flax.serialization.msgpack_restore(data)
+    return params, config
+
+
+# ---------------------------------------------------------------------------
+# full training state (Orbax)
+# ---------------------------------------------------------------------------
+
+class Checkpointer:
+    """Orbax-backed training checkpoints under `{output_dir}/step_{N}`."""
+
+    def __init__(self, output_dir):
+        self.output_dir = Path(output_dir).resolve()
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self._ckpt = ocp.StandardCheckpointer()
+
+    def save(self, state: Any, name: str) -> Path:
+        path = self.output_dir / name
+        self._ckpt.save(path, jax.device_get(state), force=True)
+        self._ckpt.wait_until_finished()
+        return path
+
+    def restore(self, name: str, target: Any) -> Any:
+        path = self.output_dir / name
+        return self._ckpt.restore(path, target)
+
+    def latest_step(self) -> Optional[int]:
+        steps = []
+        for p in self.output_dir.glob("step_*"):
+            try:
+                steps.append(int(p.name.split("_")[1]))
+            except (IndexError, ValueError):
+                continue
+        return max(steps) if steps else None
+
+
+# ---------------------------------------------------------------------------
+# torch reference checkpoint conversion
+# ---------------------------------------------------------------------------
+
+def convert_torch_state_dict(state_dict: Dict[str, np.ndarray],
+                             config: GenieConfig) -> Any:
+    """Map a reference STMaskGIT torch state dict to our flax param tree.
+
+    Reference naming (genie/st_mask_git.py, st_transformer.py, attention.py):
+        pos_embed_TSC                                   (1, T, S, C)
+        token_embed.factored_embeds.{k}.weight          (V, C)
+        token_embed.mask_token_embed                    (1, C)
+        decoder.layers.{i}.{spatial,temporal}_attn.qkv.weight   (3C, C)
+        decoder.layers.{i}.{spatial,temporal}_attn.proj.weight  (C, C)
+        decoder.layers.{i}.{spatial,temporal}_attn.norm.{weight,bias}  (hd,)
+        decoder.layers.{i}.norm{1,2}.{weight,bias}      (C,)
+        decoder.layers.{i}.mlp.fc{1,2}.weight           (out, in)
+        out_x_proj.{weight,bias}                        (2V, C) / (2V,)
+
+    torch Linear stores (out, in); flax Dense kernels are (in, out) -> transpose.
+    Values may be torch tensors or numpy arrays.
+    """
+    def to_np(v):
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return np.asarray(v)
+
+    sd = {k: to_np(v) for k, v in state_dict.items()}
+    L = config.num_layers
+    p: Dict[str, Any] = {}
+
+    p["pos_embed_TSC"] = sd["pos_embed_TSC"]
+    te: Dict[str, Any] = {"mask_token_embed": sd["token_embed.mask_token_embed"][0]}
+    for k in range(config.num_factored_vocabs):
+        te[f"factored_embeds_{k}"] = {
+            "embedding": sd[f"token_embed.factored_embeds.{k}.weight"]}
+    p["token_embed"] = te
+    p["out_x_proj"] = {"kernel": sd["out_x_proj.weight"].T,
+                       "bias": sd["out_x_proj.bias"]}
+
+    def attn_params(prefix: str) -> Dict[str, Any]:
+        out: Dict[str, Any] = {
+            "qkv": {"kernel": sd[f"{prefix}.qkv.weight"].T},
+            "proj": {"kernel": sd[f"{prefix}.proj.weight"].T,
+                     "bias": sd[f"{prefix}.proj.bias"]},
+        }
+        if f"{prefix}.qkv.bias" in sd:
+            out["qkv"]["bias"] = sd[f"{prefix}.qkv.bias"]
+        if f"{prefix}.norm.weight" in sd:
+            out["norm"] = {"scale": sd[f"{prefix}.norm.weight"],
+                           "bias": sd[f"{prefix}.norm.bias"]}
+        return out
+
+    def layer_params(i: int) -> Dict[str, Any]:
+        pre = f"decoder.layers.{i}"
+        out: Dict[str, Any] = {
+            "spatial_attn": attn_params(f"{pre}.spatial_attn"),
+            "temporal_attn": attn_params(f"{pre}.temporal_attn"),
+            "mlp": {
+                "fc1": {"kernel": sd[f"{pre}.mlp.fc1.weight"].T,
+                        "bias": sd[f"{pre}.mlp.fc1.bias"]},
+                "fc2": {"kernel": sd[f"{pre}.mlp.fc2.weight"].T,
+                        "bias": sd[f"{pre}.mlp.fc2.bias"]},
+            },
+        }
+        for norm in ("norm1", "norm2"):
+            if f"{pre}.{norm}.weight" in sd:
+                out[norm] = {"scale": sd[f"{pre}.{norm}.weight"],
+                             "bias": sd[f"{pre}.{norm}.bias"]}
+        return out
+
+    layers = [layer_params(i) for i in range(L)]
+    if config.scan_layers:
+        # stack along the scan axis
+        stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *layers)
+        p["decoder"] = {"layers": stacked}
+    else:
+        p["decoder"] = {f"layers_{i}": lp for i, lp in enumerate(layers)}
+
+    return jax.tree_util.tree_map(jnp.asarray, p)
+
+
+def load_torch_checkpoint(path, config: GenieConfig) -> Any:
+    """Load a reference checkpoint file (.safetensors or torch .bin/.pt)."""
+    path = Path(path)
+    if path.is_dir():
+        for cand in ("model.safetensors", "pytorch_model.bin"):
+            if (path / cand).exists():
+                path = path / cand
+                break
+    if path.suffix == ".safetensors":
+        from safetensors.numpy import load_file
+        sd = load_file(str(path))
+    else:
+        import torch
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    return convert_torch_state_dict(sd, config)
