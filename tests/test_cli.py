@@ -1,0 +1,110 @@
+"""CLI smoke tests: train / generate / evaluate / visualize on tiny data."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tpu1x.config import GenieConfig
+from tpu1x.data.token_store import write_token_dataset
+
+ENV_PREFIX = ("import jax; jax.config.update('jax_platforms','cpu'); "
+              "import sys; ")
+
+
+def make_dataset(tmp_path, n=80, s=4, vocab=64):
+    rng = np.random.RandomState(0)
+    tokens = rng.randint(0, vocab, (n, s, s)).astype(np.uint32)
+    write_token_dataset(tmp_path, tokens, vocab_size=vocab,
+                        segment_ids=np.zeros(n, dtype=np.int32))
+    return tmp_path
+
+
+def run_module(module, argv, cwd):
+    code = (ENV_PREFIX + f"sys.argv = {['x'] + argv!r}; "
+            f"import runpy; runpy.run_module('{module}', run_name='__main__')")
+    return subprocess.run([sys.executable, "-c", code], cwd=cwd,
+                          capture_output=True, text=True, timeout=600)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    data_dir = make_dataset(root / "data")
+    cfg = GenieConfig(num_layers=1, num_heads=2, d_model=16, T=4, S=16,
+                      image_vocab_size=64, num_factored_vocabs=2,
+                      qk_norm=False, use_mup=False, dtype="float32",
+                      num_prompt_frames=2)
+    cfg_path = root / "config.json"
+    cfg.save_pretrained(cfg_path)
+    return root, data_dir, cfg_path
+
+
+def test_train_cli_end_to_end(tiny_setup):
+    root, data_dir, cfg_path = tiny_setup
+    out_dir = root / "out"
+    r = run_module("tpu1x.train.train", [
+        "--train_data_dir", str(data_dir), "--val_data_dir", str(data_dir),
+        "--genie_config", str(cfg_path), "--output_dir", str(out_dir),
+        "--window_size", "4", "--stride", "1",
+        "--per_device_train_batch_size", "2",
+        "--per_device_eval_batch_size", "1", "--max_train_steps", "3",
+        "--eval_every_n_steps", "2", "--max_eval_steps", "1",
+        "--checkpointing_steps", "2", "--learning_rate", "1e-3",
+        "--report_to", "jsonl"], cwd=str(root))
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert (out_dir / "final_checkpt_hf" / "params.msgpack").exists()
+    lines = [json.loads(l) for l in
+             (out_dir / "metrics.jsonl").read_text().splitlines()]
+    assert any("train_loss" in l for l in lines)
+    assert any("eval_loss" in l for l in lines)
+
+    # resume from the step_2 checkpoint
+    r2 = run_module("tpu1x.train.train", [
+        "--train_data_dir", str(data_dir), "--val_data_dir", str(data_dir),
+        "--genie_config", str(cfg_path), "--output_dir", str(out_dir),
+        "--window_size", "4", "--stride", "1",
+        "--per_device_train_batch_size", "2", "--max_train_steps", "4",
+        "--eval_every_n_steps", "100", "--checkpointing_steps", "100",
+        "--resume_from_checkpoint", str(out_dir / "step_2"),
+        "--report_to", "jsonl"], cwd=str(root))
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "resumed from step_2" in r2.stdout
+
+
+def test_generate_and_visualize_cli(tiny_setup):
+    root, data_dir, cfg_path = tiny_setup
+    ckpt_dir = root / "out" / "final_checkpt_hf"
+    assert ckpt_dir.exists(), "run test_train_cli_end_to_end first"
+    gen_dir = root / "generated"
+    r = run_module("tpu1x.eval.generate", [
+        "--val_data_dir", str(data_dir), "--checkpoint_dir", str(ckpt_dir),
+        "--output_dir", str(gen_dir), "--window_size", "4", "--stride", "1",
+        "--num_prompt_frames", "2"], cwd=str(root))
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert (gen_dir / "video.bin").exists()
+    meta = json.loads((gen_dir / "metadata.json").read_text())
+    assert meta["num_prompt_frames"] == 2
+
+    # visualize with a randomly initialized tokenizer decoder (smoke)
+    r2 = run_module("tpu1x.eval.visualize", [
+        "--token_dir", str(gen_dir), "--max_images", "2"], cwd=str(root))
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert (gen_dir / "vis.gif").exists()
+
+
+def test_evaluate_cli(tiny_setup):
+    root, data_dir, cfg_path = tiny_setup
+    ckpt_dir = root / "out" / "final_checkpt_hf"
+    assert ckpt_dir.exists()
+    r = run_module("tpu1x.eval.evaluate", [
+        "--val_data_dir", str(data_dir), "--checkpoint_dir", str(ckpt_dir),
+        "--window_size", "4", "--stride", "1", "--batch_size", "2",
+        "--max_examples", "4", "--rows_per_chunk", "6"], cwd=str(root))
+    assert r.returncode == 0, r.stderr[-3000:]
+    result = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "loss" in result and np.isfinite(result["loss"])
+    assert "acc" in result and "gen_time" in result

@@ -57,6 +57,10 @@ class GenieConfig:
     mlp_drop: float = 0.0
     mlp_bias: bool = True
 
+    # Action conditioning (the reference's intended extension: README.md:49,
+    # the commented-out actions.bin hook at data.py:48). 0 = disabled.
+    action_vocab_size: int = 0
+
     # ---- TPU-native extensions (not present in the reference) ----
     dtype: str = "bfloat16"  # compute/activation dtype
     param_dtype: str = "float32"  # parameter storage dtype

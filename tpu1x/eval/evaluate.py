@@ -166,7 +166,8 @@ def evaluate_dataset(
             outputs["pred_tokens"].append(samples)
 
         if verbose:
-            print({k: round(v.mean(), 4) for k, v in metrics.items()})
+            print({k: round(v.mean(), 4) for k, v in metrics.items()
+                   if v.count > 0})
 
     if save_outputs_dir is not None:
         from pathlib import Path
@@ -176,7 +177,7 @@ def evaluate_dataset(
             if vals:
                 np.save(out / f"{key}.npy", np.concatenate(vals, axis=0))
 
-    return {k: v.mean() for k, v in metrics.items()}
+    return {k: v.mean() for k, v in metrics.items() if v.count > 0}
 
 
 def parse_args():

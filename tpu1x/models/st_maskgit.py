@@ -72,18 +72,29 @@ class STMaskGIT(nn.Module):
             dtype=jnp.float32, param_dtype=param_dtype,
             kernel_init=nn.initializers.normal(stddev=0.02), name="out_x_proj",
         )
+        if cfg.action_vocab_size > 0:
+            self.action_embed = nn.Embed(
+                num_embeddings=cfg.action_vocab_size, features=cfg.d_model,
+                dtype=dtype, param_dtype=param_dtype,
+                embedding_init=nn.initializers.normal(stddev=0.02),
+                name="action_embed")
 
-    def compute_logits(self, x_BTHW) -> jnp.ndarray:
+    def compute_logits(self, x_BTHW, actions_BT=None) -> jnp.ndarray:
         """Token ids (B, T, H, W) int32 -> logits (B, T, S, V, F) float32.
 
         Mirrors the reference pipeline (st_mask_git.py:255-265) in the
-        TPU-native layout.
+        TPU-native layout. `actions_BT` (B, T) int32, if given and
+        `config.action_vocab_size > 0`, enters as an additive per-frame
+        embedding (the extension the reference points at in README.md:49).
         """
         cfg = self.config
         B, T, H, W = x_BTHW.shape
         x_BTS = x_BTHW.reshape(B, T, H * W)
         x = self.token_embed(x_BTS)
         x = x + self.pos_embed_TSC.astype(x.dtype)
+        if cfg.action_vocab_size > 0 and actions_BT is not None:
+            act = self.action_embed(actions_BT)  # (B, T, C)
+            x = x + act[:, :, None, :].astype(x.dtype)
         x = self.decoder(x)
         if cfg.use_mup:
             # FixedMuReadout: scale activations by output_mult/width_mult before
@@ -94,12 +105,13 @@ class STMaskGIT(nn.Module):
         return logits.reshape(B, T, H * W, cfg.num_factored_vocabs,
                               cfg.factored_vocab_size).swapaxes(-1, -2)
 
-    def __call__(self, input_ids, labels) -> Dict[str, jnp.ndarray]:
+    def __call__(self, input_ids, labels, actions=None) -> Dict[str, jnp.ndarray]:
         """Training forward (reference: st_mask_git.py:267-279).
 
         Args:
             input_ids: (B, T*H*W) int32 corrupted/masked tokens.
             labels: (B, T*H*W) int32 clean tokens.
+            actions: optional (B, T) int32 per-frame action ids.
         Returns dict(loss, acc, logits).
         """
         cfg = self.config
@@ -107,7 +119,7 @@ class STMaskGIT(nn.Module):
         x_BTHW = input_ids.reshape(B, cfg.T, self.h, self.w)
         labels_BTHW = labels.reshape(B, cfg.T, self.h, self.w)
 
-        logits = self.compute_logits(x_BTHW)  # (B, T, S, V, F)
+        logits = self.compute_logits(x_BTHW, actions)  # (B, T, S, V, F)
         # Loss over masked tokens of frames 1.. only (ref: 276).
         relevant_mask = (x_BTHW[:, 1:] == cfg.mask_token_id).reshape(B, cfg.T - 1, cfg.S)
         loss, acc = compute_loss_and_acc(logits, labels_BTHW, relevant_mask, cfg)

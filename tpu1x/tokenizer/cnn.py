@@ -91,7 +91,10 @@ class Encoder(nn.Module):
                 x = ResBlock(block_out, dtype=dtype, param_dtype=pdtype,
                              name=f"down_{i_level}_block_{i_block}")(x)
             if i_level < num_levels - 1:
-                x = nn.Conv(block_out, (3, 3), strides=(2, 2), dtype=dtype,
+                # explicit (1,1) padding: torch Conv2d(k=3, s=2, p=1) floor
+                # semantics, NOT XLA 'SAME' (which pads (0,1) here)
+                x = nn.Conv(block_out, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)), dtype=dtype,
                             param_dtype=pdtype,
                             name=f"down_{i_level}_downsample")(x)
         for i in range(cfg.num_res_blocks):

@@ -72,6 +72,11 @@ def make_train_step(model: STMaskGIT, tx: optax.GradientTransformation,
                                opt_state=new_opt_state, rng=state.rng)
         return new_state, metrics
 
+    if donate and jax.default_backend() == "axon":
+        # The axon (tunneled single-chip dev) backend deadlocks on the second
+        # dispatch of a program with donated inputs; donation is purely a
+        # memory optimization, so drop it there. Real TPU backends keep it.
+        donate = False
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 

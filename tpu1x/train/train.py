@@ -1,0 +1,303 @@
+"""Training CLI: the reference's `train.py` re-expressed for TPU meshes.
+
+Flag surface mirrors the reference (train.py:40-230); the runtime is a
+single jitted SPMD program per step over a ("data","model") mesh instead of
+Accelerate DDP. Differences called out inline:
+- `--no_compile` is meaningless (everything is jit) and accepted as a no-op.
+- `--tp/--fsdp` select tensor-parallel degree / ZeRO-style param sharding —
+  mesh axes the reference doesn't have (SURVEY.md §2c).
+- metrics go to wandb when available, always to `{output_dir}/metrics.jsonl`
+  (FLOPs accounting 6*N*tokens as in train.py:543-544).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu1x.config import GenieConfig
+from tpu1x.data.token_store import RawTokenDataset, ShardedBatchLoader
+from tpu1x.models.st_maskgit import STMaskGIT, count_params, flops_per_update_step
+from tpu1x.parallel.mesh import batch_sharding, make_mesh
+from tpu1x.train.checkpoint import Checkpointer, load_pretrained, save_pretrained
+from tpu1x.train.optim import build_optimizer
+from tpu1x.train.step import (create_train_state, make_eval_step,
+                              make_train_step, shard_train_state)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        description="Train a spatial-temporal MaskGIT world model on TPU.")
+    # data
+    p.add_argument("--train_data_dir", type=str, default="data/train_v1.1")
+    p.add_argument("--val_data_dir", type=str, default="data/val_v1.1")
+    p.add_argument("--window_size", type=int, default=16)
+    p.add_argument("--stride", type=int, default=15)
+    p.add_argument("--filter_overlaps", action="store_true")
+    # model
+    p.add_argument("--genie_config", type=str, required=True)
+    p.add_argument("--warmstart_path", type=str, default=None)
+    p.add_argument("--resume_from_checkpoint", type=str, default=None)
+    # training
+    p.add_argument("--per_device_train_batch_size", type=int, default=4)
+    p.add_argument("--per_device_eval_batch_size", type=int, default=4)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--gradient_checkpointing", action="store_true",
+                   help="force remat on (default follows config.remat)")
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--num_train_epochs", type=int, default=1)
+    p.add_argument("--max_train_steps", type=int, default=None)
+    p.add_argument("--max_eval_steps", type=int, default=int(1e10))
+    p.add_argument("--eval_every_n_steps", type=int, default=1000)
+    p.add_argument("--vis_every_n_steps", type=int, default=1000)
+    p.add_argument("--lr_scheduler_type", type=str, default="linear",
+                   choices=["linear", "cosine", "constant",
+                            "constant_with_warmup", "custom_cosine"])
+    p.add_argument("--num_warmup_steps", type=int, default=0)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--attention_dropout", type=float, default=0.0)
+    p.add_argument("--adam_beta_1", type=float, default=0.9)
+    p.add_argument("--adam_beta_2", type=float, default=0.999)
+    p.add_argument("--adam_eps", type=float, default=1e-8)
+    # misc
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--checkpointing_steps", type=str, default="1000")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--overfit_first_batch", action="store_true")
+    p.add_argument("--report_to", type=str, default="jsonl",
+                   choices=["jsonl", "wandb", "none"])
+    p.add_argument("--mu_transfer", action="store_true")
+    p.add_argument("--no_compile", action="store_true",
+                   help="accepted for reference-CLI compatibility; no-op")
+    # TPU parallelism
+    p.add_argument("--tp", type=int, default=1, help="tensor-parallel degree")
+    p.add_argument("--fsdp", action="store_true",
+                   help="shard params over the data axis (ZeRO-3 style)")
+    return p.parse_args(argv)
+
+
+class MetricsLogger:
+    def __init__(self, output_dir, report_to: str, experiment_config: dict):
+        self.report_to = report_to
+        self.wandb = None
+        self.path = Path(output_dir) / "metrics.jsonl"
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        if report_to == "wandb":
+            try:
+                import wandb
+                self.wandb = wandb.init(project="1XGPT_tpu1x",
+                                        config=experiment_config)
+            except Exception as e:  # no wandb account in this environment
+                print(f"wandb unavailable ({e}); falling back to jsonl")
+        with open(self.path, "a") as f:
+            f.write(json.dumps({"experiment_config": {
+                k: v for k, v in experiment_config.items()
+                if isinstance(v, (int, float, str, bool, type(None)))}}) + "\n")
+
+    def log(self, metrics: dict, step: int):
+        if self.wandb is not None:
+            self.wandb.log(metrics, step=step)
+        if self.report_to != "none":
+            with open(self.path, "a") as f:
+                f.write(json.dumps({"step": step, **metrics}) + "\n")
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    np.random.seed(args.seed)
+
+    # multi-host init (jax.distributed) — no-op on a single host
+    if int(os.environ.get("TPU1X_MULTIHOST", "0")):
+        jax.distributed.initialize()
+    process_index, process_count = jax.process_index(), jax.process_count()
+
+    mesh = make_mesh(tp=args.tp)
+    num_devices = jax.device_count()
+
+    train_dataset = RawTokenDataset(args.train_data_dir,
+                                    window_size=args.window_size,
+                                    stride=args.stride,
+                                    filter_overlaps=args.filter_overlaps)
+    if not args.overfit_first_batch:
+        eval_dataset = RawTokenDataset(args.val_data_dir,
+                                       window_size=args.window_size,
+                                       stride=args.stride, filter_overlaps=True)
+    else:
+        gbs = args.per_device_train_batch_size * num_devices \
+            * args.gradient_accumulation_steps
+        train_dataset.valid_start_inds = train_dataset.valid_start_inds[:gbs]
+        eval_dataset = train_dataset
+
+    metadata = train_dataset.metadata
+    config = GenieConfig.from_pretrained(args.genie_config)
+    config.use_mup = args.mu_transfer
+    config.image_vocab_size = metadata["vocab_size"]
+    config.T = args.window_size
+    config.S = metadata["s"] ** 2
+    config.attn_drop = args.attention_dropout
+    if args.gradient_checkpointing:
+        config.remat = True
+    config.__post_init__()
+
+    model = STMaskGIT(config)
+
+    global_batch_size = args.per_device_train_batch_size * num_devices
+    effective_batch_size = global_batch_size * args.gradient_accumulation_steps
+    seq_len = config.T * config.S
+
+    loader = ShardedBatchLoader(train_dataset, global_batch_size,
+                                process_index, process_count, seed=args.seed)
+    eval_loader = ShardedBatchLoader(
+        eval_dataset, args.per_device_eval_batch_size * num_devices,
+        process_index, process_count, seed=0, shuffle=False)
+
+    steps_per_epoch = max(len(loader) // args.gradient_accumulation_steps, 1)
+    if args.max_train_steps is None:
+        args.max_train_steps = args.num_train_epochs * steps_per_epoch
+    num_epochs = math.ceil(args.max_train_steps / steps_per_epoch)
+
+    tx = build_optimizer(
+        config, args.learning_rate, weight_decay=args.weight_decay,
+        beta1=args.adam_beta_1, beta2=args.adam_beta_2, eps=args.adam_eps,
+        max_grad_norm=args.max_grad_norm,
+        lr_scheduler_type=args.lr_scheduler_type,
+        num_warmup_steps=args.num_warmup_steps,
+        num_training_steps=args.max_train_steps,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        mu_transfer=args.mu_transfer)
+
+    state = create_train_state(model, tx, jax.random.PRNGKey(args.seed), config)
+    if args.warmstart_path:
+        params, _ = load_pretrained(args.warmstart_path,
+                                    target_params=state.params)
+        state = state.replace(params=params)
+    state, _ = shard_train_state(state, mesh, fsdp=args.fsdp)
+
+    ckpt = Checkpointer(args.output_dir)
+    start_batch = 0
+    if args.resume_from_checkpoint:
+        restore_name = Path(args.resume_from_checkpoint).name
+        state = jax.tree_util.tree_map(
+            jnp.asarray, ckpt.restore(restore_name, jax.device_get(state)))
+        state, _ = shard_train_state(state, mesh, fsdp=args.fsdp)
+        start_batch = int(state.step) * args.gradient_accumulation_steps
+        print(f"resumed from {restore_name} at step {int(state.step)}")
+
+    num_params = count_params(state.params)
+    experiment_config = vars(args) | {
+        "model_parameters": num_params,
+        "model_parameters_M": round(num_params / 1e6),
+        "seq_len": seq_len,
+        "hz": metadata.get("hz", 30) / args.stride,
+        "effective_batch_size": effective_batch_size,
+        "effective_batch_size_tokens": effective_batch_size * seq_len,
+        "num_devices": num_devices,
+        "mesh": str(mesh.shape),
+    }
+    flops_per_step = flops_per_update_step(
+        num_params, experiment_config["effective_batch_size_tokens"])
+    experiment_config["FLOPs_per_update_step"] = flops_per_step
+    logger = MetricsLogger(args.output_dir, args.report_to, experiment_config)
+    print(f"***** Running training ***** params={num_params/1e6:.1f}M "
+          f"examples={len(train_dataset)} steps={args.max_train_steps} "
+          f"mesh={dict(zip(mesh.axis_names, mesh.devices.shape))}")
+
+    train_step = make_train_step(model, tx, config)
+    eval_step = make_eval_step(model, config)
+    checkpointing_steps = (int(args.checkpointing_steps)
+                           if args.checkpointing_steps.isdigit() else None)
+
+    completed_steps = int(state.step)
+    loss_sum, loss_count = 0.0, 0
+    _t = time.time()
+    done = False
+    for epoch in range(num_epochs):
+        if done:
+            break
+        skip = start_batch if epoch == 0 else 0
+        start_batch = 0
+        for i, batch in enumerate(loader.epoch(epoch, start_batch=skip)):
+            tokens = jax.device_put(jnp.asarray(batch["tokens"]),
+                                    batch_sharding(mesh))
+            state, metrics = train_step(state, tokens)
+            is_update = (i + 1) % args.gradient_accumulation_steps == 0
+            loss_sum += float(metrics["loss"])
+            loss_count += 1
+            if not is_update:
+                continue
+            completed_steps += 1
+
+            if completed_steps % 10 == 0 or completed_steps == 1:
+                batch_time = (time.time() - _t) / max(loss_count, 1) \
+                    * args.gradient_accumulation_steps
+                avg_loss = loss_sum / loss_count
+                logger.log({
+                    "train_loss": avg_loss,
+                    "train_perplexity": math.exp(min(avg_loss, 50)),
+                    "train_acc": float(metrics["acc"]),
+                    "grad_norm": float(metrics["grad_norm"]),
+                    "epoch": epoch,
+                    "examples_processed": completed_steps * effective_batch_size,
+                    "flops": completed_steps * flops_per_step,
+                    "throughput_examples": effective_batch_size / batch_time,
+                }, step=completed_steps)
+                print(f"step {completed_steps} loss {avg_loss:.4f} "
+                      f"acc {float(metrics['acc']):.4f} "
+                      f"({effective_batch_size / batch_time:.1f} ex/s)")
+                loss_sum, loss_count = 0.0, 0
+                _t = time.time()
+
+            if checkpointing_steps and completed_steps % checkpointing_steps == 0:
+                ckpt.save(state, f"step_{completed_steps}")
+                save_pretrained(Path(args.output_dir) / f"step_{completed_steps}_hf",
+                                state.params, config)
+
+            if completed_steps % args.eval_every_n_steps == 0:
+                eval_metrics = run_eval(eval_step, state, eval_loader, mesh,
+                                        args.max_eval_steps, args.seed)
+                logger.log(eval_metrics, step=completed_steps)
+                print(f"step {completed_steps} {eval_metrics}")
+
+            if completed_steps >= args.max_train_steps:
+                done = True
+                break
+        if args.checkpointing_steps == "epoch":
+            ckpt.save(state, f"epoch_{epoch}")
+
+    ckpt.save(state, "final_checkpt")
+    save_pretrained(Path(args.output_dir) / "final_checkpt_hf", state.params,
+                    config)
+    print("training done")
+
+
+def run_eval(eval_step, state, eval_loader, mesh, max_eval_steps, seed):
+    losses, accs = [], []
+    rng = jax.random.PRNGKey(seed)
+    for i, batch in enumerate(eval_loader.epoch(0)):
+        if i >= max_eval_steps:
+            break
+        rng, sub = jax.random.split(rng)
+        tokens = jax.device_put(jnp.asarray(batch["tokens"]),
+                                batch_sharding(mesh))
+        m = eval_step(state.params, tokens, sub)
+        losses.append(float(m["loss"]))
+        accs.append(float(m["acc"]))
+    if not losses:
+        return {}
+    eval_loss = float(np.mean(losses))
+    return {"eval_loss": eval_loss,
+            "eval_perplexity": math.exp(min(eval_loss, 50)),
+            "eval_teacher_acc": float(np.mean(accs))}
+
+
+if __name__ == "__main__":
+    main()
