@@ -1,0 +1,91 @@
+"""Headline benchmark: MaskGIT frame-generation latency on GENIE_138M.
+
+Mirrors the reference's leaderboard metric — generation time in seconds per
+frame, latents only, excluding token->image decode (README.md:154,165;
+measured in evaluate.py:172-175 as elapsed / ((T-1) * batch)). Reference
+GENIE_138M: 0.075 s/frame on an RTX 4090 at batch 16, maskgit_steps 2.
+
+Prints ONE JSON line:
+  {"metric": "gen_time_s_per_frame", "value": ..., "unit": "s/frame",
+   "vs_baseline": baseline / value}
+(vs_baseline > 1 means faster than the reference.)
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+BASELINE_S_PER_FRAME = 0.075  # GENIE_138M on RTX 4090 (README.md:154)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    try:  # persistent compile cache makes repeated driver runs fast
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from tpu1x.model_zoo import genie_138m
+    from tpu1x.models.sampler import generate
+    from tpu1x.models.st_maskgit import STMaskGIT
+
+    config = genie_138m()
+    model = STMaskGIT(config)
+
+    batch = 16
+    num_prompt = 8
+    num_new = config.T - num_prompt
+    maskgit_steps = 2
+
+    rng = jax.random.PRNGKey(0)
+    dummy = jnp.zeros((1, config.T * config.S), dtype=jnp.int32)
+    params = model.init(rng, dummy, dummy)["params"]
+
+    prompt = jax.random.randint(
+        jax.random.PRNGKey(1), (batch, num_prompt * config.S), 0,
+        config.image_vocab_size, dtype=jnp.int32)
+
+    # params must be a jit ARGUMENT — closing over them would bake 138M
+    # weights into the program as constants and explode compile time.
+    @jax.jit
+    def gen(params, prompt, rng):
+        def logits_fn(tokens_BTHW):
+            return model.apply({"params": params}, tokens_BTHW,
+                               method=STMaskGIT.compute_logits)
+        return generate(logits_fn, prompt, num_new, rng, config,
+                        maskgit_steps=maskgit_steps)
+
+    # warmup / compile. NOTE: timing uses device_get, not block_until_ready —
+    # the latter returns early on the tunneled axon backend.
+    t0 = time.perf_counter()
+    print(f"compiling ({jax.default_backend()})...", file=sys.stderr, flush=True)
+    out, _ = gen(params, prompt, jax.random.PRNGKey(2))
+    jax.device_get(out)
+    print(f"compiled in {time.perf_counter() - t0:.1f}s", file=sys.stderr,
+          flush=True)
+
+    iters = 5
+    start = time.perf_counter()
+    for i in range(iters):
+        out, _ = gen(params, prompt, jax.random.PRNGKey(3 + i))
+    jax.device_get(out)
+    elapsed = time.perf_counter() - start
+
+    frames = iters * num_new * batch
+    s_per_frame = elapsed / frames
+    print(json.dumps({
+        "metric": "gen_time_s_per_frame",
+        "value": round(s_per_frame, 6),
+        "unit": "s/frame",
+        "vs_baseline": round(BASELINE_S_PER_FRAME / s_per_frame, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

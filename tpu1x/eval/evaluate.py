@@ -48,13 +48,19 @@ class GenieEvaluator:
         self.temperature = temperature
         self.rows_per_chunk = rows_per_chunk
 
-        def logits_fn(tokens_BTHW):
-            return model.apply({"params": self.params}, tokens_BTHW,
-                               method=STMaskGIT.compute_logits)
+        # params enter as a jit argument (closing over them would bake the
+        # weights into the compiled program as constants — huge compiles)
+        def _gen(params, tokens, out_t, rng):
+            def logits_fn(tokens_BTHW):
+                return model.apply({"params": params}, tokens_BTHW,
+                                   method=STMaskGIT.compute_logits)
+            return maskgit_generate(logits_fn, tokens, out_t, rng, config,
+                                    maskgit_steps=maskgit_steps,
+                                    temperature=temperature)
 
-        self._gen = jax.jit(functools.partial(
-            maskgit_generate, logits_fn, config=config,
-            maskgit_steps=maskgit_steps, temperature=temperature))
+        self._gen_jit = jax.jit(_gen)
+        self._gen = lambda tokens, out_t, rng: self._gen_jit(
+            self.params, tokens, out_t, rng)
 
     def predict_zframe_logits(self, input_ids: np.ndarray, rng: jax.Array
                               ) -> Tuple[np.ndarray, np.ndarray]:

@@ -56,10 +56,6 @@ def main():
         params = params["params"]
     model = STMaskGIT(config)
 
-    def logits_fn(tokens_BTHW):
-        return model.apply({"params": params}, tokens_BTHW,
-                           method=STMaskGIT.compute_logits)
-
     idx = np.arange(args.example_ind, args.example_ind + args.batch_size)
     tokens_BTHW = dataset.get_batch(idx)  # (B, T, H, W)
     B = tokens_BTHW.shape[0]
@@ -67,12 +63,18 @@ def main():
     prompt = jnp.asarray(
         tokens_BTHW[:, :args.num_prompt_frames].reshape(B, -1))
 
-    gen_jit = jax.jit(functools.partial(
-        generate, logits_fn, num_new_frames=args.window_size - args.num_prompt_frames,
-        config=config, maskgit_steps=args.maskgit_steps,
-        temperature=args.temperature))
+    @jax.jit
+    def gen_jit(params, prompt, rng):
+        def logits_fn(tokens_BTHW):
+            return model.apply({"params": params}, tokens_BTHW,
+                               method=STMaskGIT.compute_logits)
+        return generate(logits_fn, prompt,
+                        args.window_size - args.num_prompt_frames, rng,
+                        config, maskgit_steps=args.maskgit_steps,
+                        temperature=args.temperature)
+
     start = time.time()
-    out_tokens, _ = gen_jit(prompt, rng=jax.random.PRNGKey(args.seed))
+    out_tokens, _ = gen_jit(params, prompt, jax.random.PRNGKey(args.seed))
     out_tokens = np.asarray(out_tokens)
     n_new = args.window_size - args.num_prompt_frames
     print(f"generated {B}x{n_new} frames in {time.time() - start:.2f}s")

@@ -43,9 +43,10 @@ class RolloutEngine:
         self._rollout_jit = {}
         self._score_jit = None
 
-    def _logits_fn(self, actions=None):
+    def _logits_fn(self, params, actions=None):
+        # params flow in as jit arguments (never closure constants)
         def fn(tokens_BTHW):
-            return self.model.apply({"params": self.params}, tokens_BTHW,
+            return self.model.apply({"params": params}, tokens_BTHW,
                                     actions, method=STMaskGIT.compute_logits)
         return fn
 
@@ -73,13 +74,14 @@ class RolloutEngine:
 
         key = (num_new_frames, actions is not None)
         if key not in self._rollout_jit:
-            def run(tokens_flat, actions, rng):
+            def run(params, tokens_flat, actions, rng):
                 return generate(
-                    self._logits_fn(actions), tokens_flat, num_new_frames,
-                    rng, cfg, maskgit_steps=self.maskgit_steps,
+                    self._logits_fn(params, actions), tokens_flat,
+                    num_new_frames, rng, cfg,
+                    maskgit_steps=self.maskgit_steps,
                     temperature=self.temperature)[0]
             self._rollout_jit[key] = jax.jit(run)
-        out = self._rollout_jit[key](flat, actions, rng)
+        out = self._rollout_jit[key](self.params, flat, actions, rng)
         return out.reshape(B, K, Tp + num_new_frames, H, W)
 
     def score_policies(self, context_tokens: jnp.ndarray,
@@ -98,9 +100,9 @@ class RolloutEngine:
         cfg = self.config
 
         if self._score_jit is None:
-            def run(tokens, targets, actions):
+            def run(params, tokens, targets, actions):
                 logits = self.model.apply(
-                    {"params": self.params}, tokens, actions,
+                    {"params": params}, tokens, actions,
                     method=STMaskGIT.compute_logits)
                 mask = jnp.ones((1, cfg.T - 1, cfg.S), dtype=bool)
 
@@ -109,7 +111,8 @@ class RolloutEngine:
                     return loss
                 return jax.vmap(one)(logits, targets)
             self._score_jit = jax.jit(run)
-        return self._score_jit(context_tokens, continuation_tokens, actions)
+        return self._score_jit(self.params, context_tokens,
+                               continuation_tokens, actions)
 
     def rank_policies(self, context_tokens, continuation_tokens,
                       actions=None) -> np.ndarray:
