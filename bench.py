@@ -32,7 +32,7 @@ def main():
         pass
 
     from tpu1x.model_zoo import genie_138m
-    from tpu1x.models.sampler import generate
+    from tpu1x.models.sampler import generate_cached
     from tpu1x.models.st_maskgit import STMaskGIT
 
     config = genie_138m()
@@ -55,11 +55,16 @@ def main():
     # weights into the program as constants and explode compile time.
     @jax.jit
     def gen(params, prompt, rng):
-        def logits_fn(tokens_BTHW):
-            return model.apply({"params": params}, tokens_BTHW,
-                               method=STMaskGIT.compute_logits)
-        return generate(logits_fn, prompt, num_new, rng, config,
-                        maskgit_steps=maskgit_steps)
+        def prefill_fn(tokens_BPHW):
+            return model.apply({"params": params}, tokens_BPHW,
+                               method=STMaskGIT.prefill)
+
+        def decode_fn(frame_BS, t_B, cache):
+            return model.apply({"params": params}, frame_BS, t_B, cache,
+                               method=STMaskGIT.decode_frame)
+
+        return generate_cached(prefill_fn, decode_fn, prompt, num_new, rng,
+                               config, maskgit_steps=maskgit_steps)
 
     # warmup / compile. NOTE: timing uses device_get, not block_until_ready —
     # the latter returns early on the tunneled axon backend.

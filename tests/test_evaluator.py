@@ -1,0 +1,95 @@
+"""Evaluator tests: cached vs row-expansion parity, challenge CE metric."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu1x.eval.evaluate import GenieEvaluator, evaluate_dataset
+from tpu1x.eval.metrics import AvgMetric, compute_loss, token_accuracy
+from tpu1x.model_zoo import genie_tiny
+from tpu1x.models.st_maskgit import STMaskGIT
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = genie_tiny(T=4)
+    model = STMaskGIT(cfg)
+    rng = jax.random.PRNGKey(0)
+    dummy = jnp.zeros((1, cfg.T * cfg.S), dtype=jnp.int32)
+    params = model.init(rng, dummy, dummy)["params"]
+    B = 3
+    tokens = np.asarray(jax.random.randint(
+        jax.random.PRNGKey(1), (B, cfg.T * cfg.S), 0, cfg.image_vocab_size,
+        dtype=jnp.int32))
+    return cfg, model, params, tokens
+
+
+def test_cached_matches_row_expansion(setup):
+    """Step-0 logits are RNG-free given ground truth -> must match exactly
+    between the KV-cached path and the full-forward row path; samples match
+    for single-step greedy decoding."""
+    cfg, model, params, tokens = setup
+    ev_cached = GenieEvaluator(model, params, cfg, maskgit_steps=1,
+                               use_cache=True)
+    ev_rows = GenieEvaluator(model, params, cfg, maskgit_steps=1,
+                             rows_per_chunk=5, use_cache=False)
+    rng = jax.random.PRNGKey(2)
+    s_c, l_c = ev_cached.predict_zframe_logits(tokens, rng)
+    s_r, l_r = ev_rows.predict_zframe_logits(tokens, rng)
+    assert l_c.shape == l_r.shape
+    np.testing.assert_allclose(l_c, l_r, atol=1e-4, rtol=1e-3)
+    np.testing.assert_array_equal(s_c, s_r)
+
+
+def test_multi_step_logits_match(setup):
+    """Challenge CE depends only on step-0 logits — identical across paths
+    even with multi-step sampling."""
+    cfg, model, params, tokens = setup
+    ev_cached = GenieEvaluator(model, params, cfg, maskgit_steps=3,
+                               use_cache=True)
+    ev_rows = GenieEvaluator(model, params, cfg, maskgit_steps=3,
+                             use_cache=False)
+    rng = jax.random.PRNGKey(3)
+    _, l_c = ev_cached.predict_zframe_logits(tokens, rng)
+    _, l_r = ev_rows.predict_zframe_logits(tokens, rng)
+    np.testing.assert_allclose(l_c, l_r, atol=1e-4, rtol=1e-3)
+    loss_c = compute_loss(tokens, l_c, cfg.num_factored_vocabs,
+                          cfg.factored_vocab_size)
+    loss_r = compute_loss(tokens, l_r, cfg.num_factored_vocabs,
+                          cfg.factored_vocab_size)
+    np.testing.assert_allclose(loss_c, loss_r, rtol=1e-5)
+
+
+def test_compute_loss_on_perfect_logits(setup):
+    """CE -> ~0 when logits put all mass on the true factored tokens."""
+    cfg, model, params, tokens = setup
+    B = tokens.shape[0]
+    h = cfg.latent_side_len
+    tok = tokens.reshape(B, cfg.T, h, h)[:, 1:]
+    V, F = cfg.factored_vocab_size, cfg.num_factored_vocabs
+    logits = np.zeros((B, V, F, cfg.T - 1, h, h), dtype=np.float32)
+    for f in range(F):
+        digit = (tok // (V ** f)) % V
+        for v in range(V):
+            logits[:, v, f][digit == v] = 100.0
+    loss = compute_loss(tokens, jnp.asarray(logits), F, V)
+    assert loss < 1e-3
+
+
+def test_evaluate_dataset_end_to_end(setup, tmp_path):
+    cfg, model, params, tokens = setup
+    from tpu1x.data.token_store import write_token_dataset, RawTokenDataset
+    B = tokens.shape[0]
+    h = cfg.latent_side_len
+    frames = tokens.reshape(-1, h, h)
+    write_token_dataset(tmp_path / "ds", frames, vocab_size=cfg.image_vocab_size,
+                        segment_ids=np.zeros(len(frames), dtype=np.int32))
+    ds = RawTokenDataset(tmp_path / "ds", window_size=cfg.T, stride=1,
+                         filter_overlaps=True)
+    ev = GenieEvaluator(model, params, cfg, maskgit_steps=2)
+    results = evaluate_dataset(ev, ds, batch_size=2, max_examples=2,
+                               verbose=False)
+    assert np.isfinite(results["loss"])
+    assert 0 <= results["acc"] <= 1
+    assert results["gen_time"] > 0

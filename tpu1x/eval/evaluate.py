@@ -31,24 +31,32 @@ import numpy as np
 from tpu1x.config import GenieConfig
 from tpu1x.data.token_store import RawTokenDataset
 from tpu1x.eval.metrics import AvgMetric, compute_loss, token_accuracy
-from tpu1x.models.sampler import maskgit_generate
+from tpu1x.models.sampler import maskgit_generate, maskgit_generate_cached
 from tpu1x.models.st_maskgit import STMaskGIT
 
 
 class GenieEvaluator:
-    """Batched teacher-forced evaluator (reference: evaluate.py:69-142)."""
+    """Batched teacher-forced evaluator (reference: evaluate.py:69-142).
+
+    Default path is KV-cached: ground truth is prefilled once per batch and
+    every frame task decodes only its own S tokens per MaskGIT step —
+    ~(1 + (T-1)*steps/T) forward-equivalents per example vs the reference's
+    (T-1)*steps full forwards (evaluate.py:107-119). `use_cache=False`
+    switches to parallel batch-row full forwards (the parity oracle).
+    """
 
     def __init__(self, model: STMaskGIT, params, config: GenieConfig,
                  maskgit_steps: int = 2, temperature: float = 0.0,
-                 rows_per_chunk: int = 64):
+                 rows_per_chunk: int = 64, use_cache: bool = True):
         self.model = model
         self.params = params
         self.config = config
         self.maskgit_steps = maskgit_steps
         self.temperature = temperature
         self.rows_per_chunk = rows_per_chunk
+        self.use_cache = use_cache
 
-        # params enter as a jit argument (closing over them would bake the
+        # params enter as jit arguments (closing over them would bake the
         # weights into the compiled program as constants — huge compiles)
         def _gen(params, tokens, out_t, rng):
             def logits_fn(tokens_BTHW):
@@ -59,22 +67,54 @@ class GenieEvaluator:
                                     temperature=temperature)
 
         self._gen_jit = jax.jit(_gen)
-        self._gen = lambda tokens, out_t, rng: self._gen_jit(
-            self.params, tokens, out_t, rng)
+
+        def _eval_all_frames(params, tokens_BTHW, rng):
+            B = tokens_BTHW.shape[0]
+
+            def decode_fn(frame_BS, t_B, cache):
+                return model.apply({"params": params}, frame_BS, t_B, cache,
+                                   method=STMaskGIT.decode_frame)
+
+            cache = model.apply({"params": params}, tokens_BTHW,
+                                method=STMaskGIT.prefill)
+
+            def task(rng, t):
+                rng, sub = jax.random.split(rng)
+                frame, flogits, _ = maskgit_generate_cached(
+                    decode_fn, cache, t, sub, config,
+                    maskgit_steps=maskgit_steps, temperature=temperature,
+                    batch_size=B)
+                return rng, (frame, flogits)
+
+            _, (frames, flogits) = jax.lax.scan(
+                task, rng, jnp.arange(1, config.T, dtype=jnp.int32))
+            return frames, flogits
+
+        self._eval_all_frames_jit = jax.jit(_eval_all_frames)
 
     def predict_zframe_logits(self, input_ids: np.ndarray, rng: jax.Array
                               ) -> Tuple[np.ndarray, np.ndarray]:
-        """(B, T*H*W) tokens -> (samples (B,T-1,H,W), logits (B,V,F,T-1,H,W)).
-
-        All T-1 frame tasks run as parallel batch rows (one row = one
-        (example, target-frame) pair with frames >= t masked).
-        """
+        """(B, T*H*W) tokens -> (samples (B,T-1,H,W), logits (B,V,F,T-1,H,W))."""
         cfg = self.config
         T, h, w = cfg.T, cfg.latent_side_len, cfg.latent_side_len
         B = input_ids.shape[0]
         tokens = np.asarray(input_ids, dtype=np.int32).reshape(B, T, h, w)
+        if self.use_cache:
+            frames, flogits = self._eval_all_frames_jit(
+                self.params, jnp.asarray(tokens), rng)
+            samples = np.asarray(frames).transpose(1, 0, 2).reshape(
+                B, T - 1, h, w)
+            # flogits: (T-1, B, V, F, h, w) -> (B, V, F, T-1, h, w)
+            logits = np.asarray(flogits).transpose(1, 2, 3, 0, 4, 5)
+            return samples, logits
+        return self._predict_rows(tokens, rng)
 
-        # rows: example-major, frame-minor
+    def _predict_rows(self, tokens: np.ndarray, rng: jax.Array
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """Uncached path: all T-1 frame tasks as parallel batch rows."""
+        cfg = self.config
+        T, h, w = cfg.T, cfg.latent_side_len, cfg.latent_side_len
+        B = tokens.shape[0]
         rows = np.repeat(tokens, T - 1, axis=0)  # (B*(T-1), T, h, w)
         out_t = np.tile(np.arange(1, T, dtype=np.int32), B)
         frame_idx = np.arange(T, dtype=np.int32)
@@ -96,8 +136,8 @@ class GenieEvaluator:
                 chunk_out_t = np.concatenate(
                     [chunk_out_t, np.repeat(chunk_out_t[-1:], pad)])
             rng, sub = jax.random.split(rng)
-            s, l = self._gen(jnp.asarray(chunk_tokens), jnp.asarray(chunk_out_t),
-                             sub)
+            s, l = self._gen_jit(self.params, jnp.asarray(chunk_tokens),
+                                 jnp.asarray(chunk_out_t), sub)
             samples_rows.append(np.asarray(s[:hi - lo]))
             logits_rows.append(np.asarray(l[:hi - lo]))
 

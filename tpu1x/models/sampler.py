@@ -66,6 +66,134 @@ def _sample_frame(frame_logits_BSVF, rng, temperature: float, factored_vocab_siz
     return samples, confidences
 
 
+def _frame_update(frame_BS, unmasked_BS, frame_logits_BSVF, step: int,
+                  maskgit_steps: int, n_per_step, rng, config: GenieConfig,
+                  temperature: float, unmask_mode: str):
+    """One MaskGIT step on a single frame's state (shared by the cached and
+    uncached samplers). Mirrors st_mask_git.py:166-223."""
+    B, S = frame_BS.shape
+    rng, sample_rng, conf_rng = jax.random.split(rng, 3)
+    samples_BS, confidences_BS = _sample_frame(
+        frame_logits_BSVF, sample_rng, temperature, config.factored_vocab_size)
+
+    prev_unmasked = unmasked_BS
+    if step != maskgit_steps - 1:
+        n = n_per_step[step]
+        if unmask_mode == "greedy":
+            conf = confidences_BS
+        else:  # randomized confidences (st_mask_git.py:204-206)
+            conf = jax.random.uniform(conf_rng, (B, S), dtype=jnp.float32)
+        conf = jnp.where(unmasked_BS, jnp.inf, conf)
+        order = jnp.argsort(conf, axis=1)
+        ranks = jnp.argsort(order, axis=1)
+        to_mask = ranks < n
+        samples_BS = jnp.where(to_mask, config.mask_token_id, samples_BS)
+        unmasked_BS = ~to_mask
+    samples_BS = jnp.where(prev_unmasked, frame_BS, samples_BS)
+    return samples_BS, unmasked_BS
+
+
+def maskgit_generate_cached(
+    decode_fn,
+    cache,
+    out_t,
+    rng: jax.Array,
+    config: GenieConfig,
+    maskgit_steps: int = 2,
+    temperature: float = 0.0,
+    unmask_mode: str = "random",
+    batch_size: int = None,
+):
+    """KV-cached `maskgit_generate`: decodes frame `out_t` touching only that
+    frame's S tokens per step (vs the reference's full (T, S) forward,
+    st_mask_git.py:163-169 — identical math via temporal causality).
+
+    Args:
+        decode_fn: (frame_tokens_BS, t_B, cache) -> (logits_BSVF, kv_cur)
+            (STMaskGIT.decode_frame bound to params).
+        cache: {"k","v"} from STMaskGIT.prefill over committed frames < out_t.
+
+    Returns: (sample_BS, orig_logits (B, V, F, H, W), kv_cur of the *last
+    sampling pass* — callers committing the frame should re-decode the final
+    tokens (see `generate_cached`)).
+    """
+    assert unmask_mode in ("greedy", "random"), unmask_mode
+    B = cache["k"].shape[1] if batch_size is None else batch_size
+    S = config.S
+    h = w = config.latent_side_len
+    out_t = jnp.broadcast_to(jnp.asarray(out_t, jnp.int32), (B,))
+    n_per_step = [math.ceil(cosine_schedule((s + 1) / maskgit_steps) * S)
+                  for s in range(maskgit_steps - 1)]
+
+    frame = jnp.full((B, S), config.mask_token_id, dtype=jnp.int32)
+    unmasked = jnp.zeros((B, S), dtype=bool)
+    orig_logits = None
+    kv_cur = None
+    for step in range(maskgit_steps):
+        logits, kv_cur = decode_fn(frame, out_t, cache)
+        if step == 0:
+            orig_logits = logits
+        rng, sub = jax.random.split(rng)
+        frame, unmasked = _frame_update(
+            frame, unmasked, logits, step, maskgit_steps, n_per_step, sub,
+            config, temperature, unmask_mode)
+
+    F = orig_logits.shape[-1]
+    orig_ref = jnp.moveaxis(orig_logits, 1, -1).reshape(
+        B, config.factored_vocab_size, F, h, w)
+    return frame, orig_ref, kv_cur
+
+
+def generate_cached(
+    prefill_fn,
+    decode_fn,
+    input_ids_BN: jnp.ndarray,
+    num_new_frames: int,
+    rng: jax.Array,
+    config: GenieConfig,
+    maskgit_steps: int = 2,
+    temperature: float = 0.0,
+    unmask_mode: str = "random",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """KV-cached autoregressive rollout; same contract as `generate`.
+
+    Per generated frame: `maskgit_steps` single-frame decodes + one commit
+    decode of the finalized tokens (whose K/V enter the cache) — ~
+    (steps+1)/T of the uncached FLOPs.
+    """
+    from tpu1x.models.st_maskgit import update_cache
+
+    h = w = config.latent_side_len
+    S = config.S
+    B = input_ids_BN.shape[0]
+    num_prompt_frames = input_ids_BN.shape[1] // S
+    T = num_prompt_frames + num_new_frames
+    assert T == config.T, (T, config.T)
+
+    prompt_BPHW = input_ids_BN.reshape(B, num_prompt_frames, h, w).astype(jnp.int32)
+    cache = prefill_fn(prompt_BPHW)
+
+    def frame_step(carry, t):
+        cache, rng = carry
+        rng, sub = jax.random.split(rng)
+        frame, flogits, _ = maskgit_generate_cached(
+            decode_fn, cache, t, sub, config, maskgit_steps=maskgit_steps,
+            temperature=temperature, unmask_mode=unmask_mode, batch_size=B)
+        # commit: recompute K/V from the finalized tokens
+        _, kv_cur = decode_fn(frame, jnp.broadcast_to(t, (B,)), cache)
+        cache = update_cache(cache, kv_cur, t)
+        return (cache, rng), (frame, flogits)
+
+    timesteps = jnp.arange(num_prompt_frames, T, dtype=jnp.int32)
+    (_, _), (frames, all_logits) = jax.lax.scan(
+        frame_step, (cache, rng), timesteps)
+    # frames: (num_new, B, S) -> (B, num_new, S)
+    frames = jnp.moveaxis(frames, 0, 1).reshape(B, num_new_frames * S)
+    tokens = jnp.concatenate([input_ids_BN.astype(jnp.int32), frames], axis=1)
+    factored_logits = jnp.moveaxis(all_logits, 0, 3)
+    return tokens, factored_logits
+
+
 def maskgit_generate(
     logits_fn: LogitsFn,
     prompt_BTHW: jnp.ndarray,
@@ -93,7 +221,6 @@ def maskgit_generate(
     B, T, H, W = prompt_BTHW.shape
     S = H * W
     V = config.factored_vocab_size
-    mask_id = config.mask_token_id
     out_t = jnp.broadcast_to(jnp.asarray(out_t, dtype=jnp.int32), (B,))
     t_iota = jnp.arange(T, dtype=jnp.int32)
     is_out_frame = t_iota[None, :] == out_t[:, None]  # (B, T)
@@ -118,29 +245,11 @@ def maskgit_generate(
         if step == 0:
             orig_logits = frame_logits
 
-        rng, sample_rng, conf_rng = jax.random.split(rng, 3)
-        samples_BS, confidences_BS = _sample_frame(
-            frame_logits, sample_rng, temperature, V)
-
-        prev_unmasked = unmasked
+        rng, sub = jax.random.split(rng)
         prev_frame_BS = frame_of(tokens).reshape(B, S)
-
-        if step != maskgit_steps - 1:
-            n = n_per_step[step]
-            if unmask_mode == "greedy":
-                conf = confidences_BS
-            else:  # "random": only relative order matters (st_mask_git.py:204-206)
-                conf = jax.random.uniform(conf_rng, (B, S), dtype=jnp.float32)
-            conf = jnp.where(unmasked, jnp.inf, conf)
-            # rank r means r tokens have lower confidence; the n least confident
-            # get re-masked, the rest become unmasked (st_mask_git.py:212-216).
-            order = jnp.argsort(conf, axis=1)
-            ranks = jnp.argsort(order, axis=1)
-            to_mask = ranks < n
-            samples_BS = jnp.where(to_mask, mask_id, samples_BS)
-            unmasked = ~to_mask
-        # previously unmasked positions keep their committed values (st_mask_git.py:219)
-        samples_BS = jnp.where(prev_unmasked, prev_frame_BS, samples_BS)
+        samples_BS, unmasked = _frame_update(
+            prev_frame_BS, unmasked, frame_logits, step, maskgit_steps,
+            n_per_step, sub, config, temperature, unmask_mode)
 
         # functional write-back of the out_t frame (st_mask_git.py:223)
         new_frame = samples_BS.reshape(B, 1, H, W)

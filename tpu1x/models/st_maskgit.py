@@ -105,6 +105,62 @@ class STMaskGIT(nn.Module):
         return logits.reshape(B, T, H * W, cfg.num_factored_vocabs,
                               cfg.factored_vocab_size).swapaxes(-1, -2)
 
+    def prefill(self, tokens_BPHW, actions_BP=None) -> Dict[str, jnp.ndarray]:
+        """Build the temporal KV cache from committed frames.
+
+        The reference sampler recomputes every frame on every MaskGIT step
+        (st_mask_git.py:163,169); temporal attention is causal and spatial
+        attention is frame-local, so committed frames' activations never
+        change — they are computed once here and reused by `decode_frame`
+        (mathematically identical, ~T x fewer FLOPs per step).
+
+        Args:
+            tokens_BPHW: (B, P, H, W) committed frames, P <= T.
+        Returns cache {"k","v"}: (L, B, S, T, H, D), slots >= P zero-padded.
+        """
+        cfg = self.config
+        B, P, H, W = tokens_BPHW.shape
+        x = self.token_embed(tokens_BPHW.reshape(B, P, H * W))
+        x = x + self.pos_embed_TSC[:, :P].astype(x.dtype)
+        if cfg.action_vocab_size > 0 and actions_BP is not None:
+            x = x + self.action_embed(actions_BP)[:, :, None, :].astype(x.dtype)
+        _, (k, v) = self.decoder.prefill(x)
+        pad = cfg.T - P
+        if pad > 0:
+            pad_widths = [(0, 0), (0, 0), (0, 0), (0, pad), (0, 0), (0, 0)]
+            k = jnp.pad(k, pad_widths)
+            v = jnp.pad(v, pad_widths)
+        return {"k": k, "v": v}
+
+    def decode_frame(self, frame_tokens_BS, t_B, cache, action_B=None
+                     ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Single-frame logits against the KV cache.
+
+        Args:
+            frame_tokens_BS: (B, S) int32 current-frame tokens (may contain
+                mask ids).
+            t_B: (B,) int32 frame index per row (cache slots >= t are masked).
+            cache: {"k","v"} from `prefill`.
+
+        Returns: (logits (B, S, V, F) float32, kv_cur (k, v) each
+        (L, B, S, 1, H, D) for `update_cache`).
+        """
+        cfg = self.config
+        t_B = jnp.broadcast_to(jnp.asarray(t_B, jnp.int32),
+                               (frame_tokens_BS.shape[0],))
+        x = self.token_embed(frame_tokens_BS)  # (B, S, C)
+        pos = self.pos_embed_TSC[0][t_B]  # (B, S, C)
+        x = x + pos.astype(x.dtype)
+        if cfg.action_vocab_size > 0 and action_B is not None:
+            x = x + self.action_embed(action_B)[:, None, :].astype(x.dtype)
+        y, kv_cur = self.decoder.decode_step(x, cache["k"], cache["v"], t_B)
+        if cfg.use_mup:
+            y = y / cfg.width_mult
+        logits = self.out_x_proj(y.astype(jnp.float32))
+        B, S = frame_tokens_BS.shape
+        return logits.reshape(B, S, cfg.num_factored_vocabs,
+                              cfg.factored_vocab_size).swapaxes(-1, -2), kv_cur
+
     def __call__(self, input_ids, labels, actions=None) -> Dict[str, jnp.ndarray]:
         """Training forward (reference: st_mask_git.py:267-279).
 
@@ -156,6 +212,15 @@ def compute_loss_and_acc(logits_BTSVF, targets_BTHW, relevant_mask_BTS, cfg: Gen
     relevant_loss = (loss_BTS * mask).sum() / num_masked
     relevant_acc = (acc_BTS.astype(jnp.float32) * mask).sum() / num_masked
     return relevant_loss, relevant_acc
+
+
+def update_cache(cache: Dict[str, jnp.ndarray], kv_cur, t) -> Dict[str, jnp.ndarray]:
+    """Commit a frame's K/V into cache slot `t` (scalar, may be traced)."""
+    k_cur, v_cur = kv_cur
+    zeros = (0, 0, 0)
+    idx = (*zeros, jnp.asarray(t, jnp.int32), 0, 0)
+    return {"k": jax.lax.dynamic_update_slice(cache["k"], k_cur, idx),
+            "v": jax.lax.dynamic_update_slice(cache["v"], v_cur, idx)}
 
 
 def logits_to_reference_layout(logits_BTSVF, h: int, w: int) -> jnp.ndarray:

@@ -22,6 +22,7 @@ TPU-first design:
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from tpu1x.ops.attention import SelfAttention
@@ -56,7 +57,17 @@ class Mlp(nn.Module):
 
 
 class STBlock(nn.Module):
-    """One spatial-attn -> temporal-attn -> MLP block (ref: st_transformer.py:28-83)."""
+    """One spatial-attn -> temporal-attn -> MLP block (ref: st_transformer.py:28-83).
+
+    Three entry points sharing one parameter set:
+    - `__call__`: the reference forward over (B, T, S, C).
+    - `prefill`: forward that also returns the temporal K/V (B, S, T, H, D)
+      for the KV cache.
+    - `decode_step`: single-frame decode against a cache — the TPU-native
+      fast path the reference lacks (its sampler recomputes all T frames
+      every MaskGIT step, st_mask_git.py:169); temporal causality makes the
+      cached single-frame compute mathematically identical.
+    """
 
     num_heads: int
     d_model: int
@@ -73,14 +84,7 @@ class STBlock(nn.Module):
     attn_impl: str = "xla"
     deterministic: bool = True
 
-    def _maybe_norm(self, name: str):
-        if self.qk_norm:
-            return lambda x: x  # nn.Identity in the reference (ref: 44,67)
-        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
-                            param_dtype=self.param_dtype, name=name)
-
-    @nn.compact
-    def __call__(self, x_BTSC):
+    def setup(self):
         attn_kwargs = dict(
             num_heads=self.num_heads, d_model=self.d_model,
             qkv_bias=self.qkv_bias, proj_bias=self.proj_bias,
@@ -88,33 +92,118 @@ class STBlock(nn.Module):
             attn_drop=self.attn_drop, dtype=self.dtype,
             param_dtype=self.param_dtype, impl=self.attn_impl,
         )
+        self.spatial_attn = SelfAttention(**attn_kwargs)
+        self.temporal_attn = SelfAttention(**attn_kwargs)
+        self.mlp = Mlp(d_model=self.d_model, mlp_ratio=self.mlp_ratio,
+                       mlp_bias=self.mlp_bias, mlp_drop=self.mlp_drop,
+                       dtype=self.dtype, param_dtype=self.param_dtype,
+                       deterministic=self.deterministic)
+        # Identity when qk_norm (reference quirk, st_transformer.py:44,67)
+        if not self.qk_norm:
+            self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                      param_dtype=self.param_dtype)
+            self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                      param_dtype=self.param_dtype)
 
-        # Spatial attention: (B, T) are batch dims, sequence axis is S. Bidirectional.
-        h = self._maybe_norm("norm1")(x_BTSC).astype(self.dtype)
-        x = x_BTSC + SelfAttention(**attn_kwargs, name="spatial_attn")(
-            h, causal=False, deterministic=self.deterministic)
+    def _n1(self, x):
+        return x if self.qk_norm else self.norm1(x)
 
-        # Temporal attention: (B, S) are batch dims, sequence axis is T. Causal.
-        # NOTE: no pre-norm here, matching the reference (st_transformer.py:78).
+    def _n2(self, x):
+        return x if self.qk_norm else self.norm2(x)
+
+    def _forward(self, x_BTSC, collect_kv: bool):
+        # Spatial attention: (B, T) batch dims, sequence axis S. Bidirectional.
+        h = self._n1(x_BTSC).astype(self.dtype)
+        x = x_BTSC + self.spatial_attn(h, causal=False,
+                                       deterministic=self.deterministic)
+
+        # Temporal attention: (B, S) batch dims, sequence axis T. Causal.
+        # NOTE: no pre-norm (reference st_transformer.py:78).
         x_BSTC = jnp.swapaxes(x, 1, 2)
-        x_BSTC = x_BSTC + SelfAttention(**attn_kwargs, name="temporal_attn")(
-            x_BSTC, causal=True, deterministic=self.deterministic)
+        if collect_kv:
+            q, k, v = self.temporal_attn.compute_qkv(x_BSTC)
+            from tpu1x.ops.attention import mha
+            out = mha(q, k, v, scale=self.temporal_attn.scale, causal=True,
+                      impl=self.attn_impl)
+            x_BSTC = x_BSTC + self.temporal_attn.project(out)
+            kv = (k, v)  # (B, S, T, H, D)
+        else:
+            x_BSTC = x_BSTC + self.temporal_attn(
+                x_BSTC, causal=True, deterministic=self.deterministic)
+            kv = None
 
-        # MLP (computed in the (B, S, T, C) layout like the reference; same math).
-        h = self._maybe_norm("norm2")(x_BSTC).astype(self.dtype)
-        x_BSTC = x_BSTC + Mlp(
-            d_model=self.d_model, mlp_ratio=self.mlp_ratio, mlp_bias=self.mlp_bias,
-            mlp_drop=self.mlp_drop, dtype=self.dtype, param_dtype=self.param_dtype,
-            deterministic=self.deterministic, name="mlp")(h)
+        # MLP (in the (B, S, T, C) layout like the reference; same math).
+        h = self._n2(x_BSTC).astype(self.dtype)
+        x_BSTC = x_BSTC + self.mlp(h)
+        return jnp.swapaxes(x_BSTC, 1, 2), kv
 
-        return jnp.swapaxes(x_BSTC, 1, 2)
+    def __call__(self, x_BTSC):
+        return self._forward(x_BTSC, collect_kv=False)[0]
+
+    def prefill(self, x_BTSC):
+        return self._forward(x_BTSC, collect_kv=True)
+
+    def decode_step(self, x_BSC, cache_k, cache_v, t_B):
+        """Single-frame pass against the temporal KV cache.
+
+        Args:
+            x_BSC: (B, S, C) current-frame activations.
+            cache_k/cache_v: (B, S, T, H, D) committed frames' K/V (slots
+                >= each row's t are ignored via masking).
+            t_B: (B,) int32 current frame index per row.
+
+        Returns: (y_BSC, k_cur, v_cur) with k_cur/v_cur (B, S, 1, H, D) —
+        the current frame's temporal K/V for cache commit.
+        """
+        B, S, C = x_BSC.shape
+        T = cache_k.shape[2]
+
+        # spatial over S
+        h = self._n1(x_BSC).astype(self.dtype)
+        x = x_BSC + self.spatial_attn(h, causal=False,
+                                      deterministic=self.deterministic)
+
+        # temporal: one query position against cache + self
+        x_q = x[:, :, None, :]  # (B, S, 1, C)
+        q, k_cur, v_cur = self.temporal_attn.compute_qkv(x_q)  # (B,S,1,H,D)
+        k_all = jnp.concatenate([cache_k, k_cur], axis=2)  # (B,S,T+1,H,D)
+        v_all = jnp.concatenate([cache_v, v_cur], axis=2)
+        logits = jnp.einsum("bsqhd,bskhd->bshqk", q, k_all,
+                            preferred_element_type=jnp.float32) \
+            * self.temporal_attn.scale
+        t_iota = jnp.arange(T + 1, dtype=jnp.int32)
+        valid = (t_iota[None, :] < t_B[:, None]) | (t_iota[None, :] == T)
+        logits = jnp.where(valid[:, None, None, None, :], logits,
+                           jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v_all.dtype)
+        out = jnp.einsum("bshqk,bskhd->bsqhd", probs, v_all,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        x = x + self.temporal_attn.project(out)[:, :, 0, :]
+
+        # MLP
+        h = self._n2(x).astype(self.dtype)
+        x = x + self.mlp(h)
+        return x, k_cur, v_cur
 
 
 class _STBlockScanBody(STBlock):
-    """STBlock with a scan-compatible (carry, _) -> (carry, None) signature."""
+    """Scan bodies dispatching on `mode` with a shared parameter structure."""
 
-    def __call__(self, x, _unused=None):  # type: ignore[override]
-        return super().__call__(x), None
+    mode: str = "forward"
+
+    def __call__(self, carry, xs=None):  # type: ignore[override]
+        if self.mode == "forward":
+            return STBlock.__call__(self, carry), None
+        if self.mode == "prefill":
+            x, kv = STBlock.prefill(self, carry)
+            return x, kv
+        if self.mode == "decode":
+            x, t_B = carry
+            cache_k, cache_v = xs
+            x, k_cur, v_cur = STBlock.decode_step(self, x, cache_k, cache_v,
+                                                  t_B)
+            return (x, t_B), (k_cur, v_cur)
+        raise ValueError(self.mode)
 
 
 class STTransformerDecoder(nn.Module):
@@ -138,9 +227,8 @@ class STTransformerDecoder(nn.Module):
     scan_layers: bool = True
     deterministic: bool = True
 
-    @nn.compact
-    def __call__(self, x_BTSC):
-        block_kwargs = dict(
+    def _block_kwargs(self):
+        return dict(
             num_heads=self.num_heads, d_model=self.d_model,
             qkv_bias=self.qkv_bias, proj_bias=self.proj_bias,
             qk_norm=self.qk_norm, use_mup=self.use_mup, attn_drop=self.attn_drop,
@@ -148,23 +236,62 @@ class STTransformerDecoder(nn.Module):
             dtype=self.dtype, param_dtype=self.param_dtype,
             attn_impl=self.attn_impl, deterministic=self.deterministic,
         )
-        if self.scan_layers:
-            body = _STBlockScanBody
-            if self.remat:
-                body = nn.remat(body, prevent_cse=False)
-            ScanStack = nn.scan(
-                body,
-                variable_axes={"params": 0},
-                split_rngs={"params": True, "dropout": True},
-                length=self.num_layers,
-                metadata_params={nn.PARTITION_NAME: None},
-            )
-            x_BTSC, _ = ScanStack(**block_kwargs, name="layers")(x_BTSC, None)
-            return x_BTSC
 
+    def _scan_stack(self, mode: str):
+        body = _STBlockScanBody
+        if self.remat and mode == "forward":
+            body = nn.remat(body, prevent_cse=False)
+        return nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.num_layers,
+            metadata_params={nn.PARTITION_NAME: None},
+        )(**self._block_kwargs(), mode=mode, name="layers")
+
+    @nn.compact
+    def _run(self, mode, x, cache_k=None, cache_v=None, t_B=None):
+        if self.scan_layers:
+            if mode == "forward":
+                y, _ = self._scan_stack("forward")(x, None)
+                return y
+            if mode == "prefill":
+                return self._scan_stack("prefill")(x, None)
+            (y, _), kv_cur = self._scan_stack("decode")(
+                (x, t_B), (cache_k, cache_v))
+            return y, kv_cur
+
+        if mode == "forward":
+            for i in range(self.num_layers):
+                block = STBlock
+                if self.remat:
+                    block = nn.remat(block, prevent_cse=False)
+                x = block(**self._block_kwargs(), name=f"layers_{i}")(x)
+            return x
+        ks, vs = [], []
         for i in range(self.num_layers):
-            block = STBlock
-            if self.remat:
-                block = nn.remat(block, prevent_cse=False)
-            x_BTSC = block(**block_kwargs, name=f"layers_{i}")(x_BTSC)
-        return x_BTSC
+            block = STBlock(**self._block_kwargs(), name=f"layers_{i}")
+            if mode == "prefill":
+                x, (k, v) = block.prefill(x)
+            else:
+                x, k, v = block.decode_step(x, cache_k[i], cache_v[i], t_B)
+            ks.append(k)
+            vs.append(v)
+        return x, (jnp.stack(ks), jnp.stack(vs))
+
+    def __call__(self, x_BTSC):
+        return self._run("forward", x_BTSC)
+
+    def prefill(self, x_BTSC):
+        """Forward while collecting per-layer temporal K/V.
+
+        Returns (y_BTSC, (k, v)) with k/v (L, B, S, T, H, D).
+        """
+        return self._run("prefill", x_BTSC)
+
+    def decode_step(self, x_BSC, cache_k, cache_v, t_B):
+        """Single-frame decode against per-layer caches (L, B, S, T, H, D).
+
+        Returns (y_BSC, (k_cur, v_cur)) with k_cur/v_cur (L, B, S, 1, H, D).
+        """
+        return self._run("decode", x_BSC, cache_k, cache_v, t_B)

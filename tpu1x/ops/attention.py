@@ -81,6 +81,9 @@ class SelfAttention(nn.Module):
     - optional qk-LayerNorm with a single LN whose params are shared between
       q and k, computed in fp32 (genie/attention.py:31-34,42-47),
     - scale = 8/head_dim if use_mup else head_dim**-0.5 (genie/attention.py:26).
+
+    `compute_qkv` / `project` are exposed separately so the KV-cached decode
+    path (tpu1x/models/st_maskgit.py) can reuse the same parameters.
     """
 
     num_heads: int
@@ -94,36 +97,41 @@ class SelfAttention(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     impl: str = "xla"
 
-    @nn.compact
-    def __call__(self, x, causal: bool = False, deterministic: bool = True):
-        """x: (..., N, d_model) -> (..., N, d_model)."""
-        head_dim = self.d_model // self.num_heads
-        scale = 8.0 / head_dim if self.use_mup else head_dim ** -0.5
-
-        qkv = nn.Dense(
+    def setup(self):
+        self.head_dim = self.d_model // self.num_heads
+        self.scale = 8.0 / self.head_dim if self.use_mup \
+            else self.head_dim ** -0.5
+        self.qkv = nn.Dense(
             self.d_model * 3, use_bias=self.qkv_bias, dtype=self.dtype,
             param_dtype=self.param_dtype,
-            kernel_init=nn.initializers.normal(stddev=0.02), name="qkv",
-        )(x)
-        qkv = qkv.reshape(x.shape[:-1] + (3, self.num_heads, head_dim))
-        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
-
-        if self.qk_norm:
-            # One LayerNorm, applied to both q and k in fp32, then cast back
-            # (reference shares `self.norm` between q and k).
-            norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
-                                param_dtype=self.param_dtype, name="norm")
-            q = norm(q.astype(jnp.float32)).astype(v.dtype)
-            k = norm(k.astype(jnp.float32)).astype(v.dtype)
-
-        out = mha(q, k, v, scale=scale, causal=causal, impl=self.impl)
-
-        if self.attn_drop > 0.0 and not deterministic:
-            out = nn.Dropout(rate=self.attn_drop)(out, deterministic=False)
-
-        out = out.reshape(x.shape[:-1] + (self.d_model,))
-        return nn.Dense(
+            kernel_init=nn.initializers.normal(stddev=0.02))
+        self.proj = nn.Dense(
             self.d_model, use_bias=self.proj_bias, dtype=self.dtype,
             param_dtype=self.param_dtype,
-            kernel_init=nn.initializers.normal(stddev=0.02), name="proj",
-        )(out)
+            kernel_init=nn.initializers.normal(stddev=0.02))
+        if self.qk_norm:
+            self.norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                     param_dtype=self.param_dtype)
+
+    def compute_qkv(self, x):
+        """x: (..., N, C) -> q, k, v each (..., N, H, D), qk-norm applied."""
+        qkv = self.qkv(x)
+        qkv = qkv.reshape(x.shape[:-1] + (3, self.num_heads, self.head_dim))
+        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+        if self.qk_norm:
+            # fp32 LN shared between q and k (genie/attention.py:42-47)
+            q = self.norm(q.astype(jnp.float32)).astype(v.dtype)
+            k = self.norm(k.astype(jnp.float32)).astype(v.dtype)
+        return q, k, v
+
+    def project(self, out):
+        """out: (..., N, H, D) attention output -> (..., N, C)."""
+        return self.proj(out.reshape(out.shape[:-2] + (self.d_model,)))
+
+    def __call__(self, x, causal: bool = False, deterministic: bool = True):
+        """x: (..., N, d_model) -> (..., N, d_model)."""
+        q, k, v = self.compute_qkv(x)
+        out = mha(q, k, v, scale=self.scale, causal=causal, impl=self.impl)
+        if self.attn_drop > 0.0 and not deterministic:
+            out = nn.Dropout(rate=self.attn_drop)(out, deterministic=False)
+        return self.project(out)
