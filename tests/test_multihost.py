@@ -1,0 +1,100 @@
+"""Multi-host (2-process) distributed training test on CPU.
+
+The TPU-native analogue of a multi-node DDP test (SURVEY.md §4c, §5.8):
+two OS processes form a jax.distributed cluster, each with 4 virtual CPU
+devices, build one global ("data","model") mesh, load disjoint per-host
+batch shards, and run sharded train steps. Losses must agree across hosts
+(they see the same global computation).
+"""
+
+import json
+import subprocess
+import sys
+import socket
+
+import numpy as np
+import pytest
+
+WORKER = r"""
+import sys, os, json
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+port, pid = sys.argv[1], int(sys.argv[2])
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=2, process_id=pid)
+assert jax.device_count() == 8, jax.devices()
+assert jax.local_device_count() == 4
+
+import jax.numpy as jnp
+import numpy as np
+from tpu1x.model_zoo import genie_tiny
+from tpu1x.models.st_maskgit import STMaskGIT
+from tpu1x.parallel.mesh import make_mesh, put_global_batch
+from tpu1x.train.optim import build_optimizer
+from tpu1x.train.step import create_train_state, make_train_step, shard_train_state
+from tpu1x.data.token_store import RawTokenDataset, ShardedBatchLoader, write_token_dataset
+
+data_dir = sys.argv[3]
+cfg = genie_tiny(T=4, num_prompt_frames=1)
+mesh = make_mesh(tp=2)  # 4 x 2 over 8 global devices
+model = STMaskGIT(cfg)
+tx = build_optimizer(cfg, learning_rate=1e-3, num_training_steps=10)
+state = create_train_state(model, tx, jax.random.PRNGKey(0), cfg)
+state, _ = shard_train_state(state, mesh, fsdp=True)
+step = make_train_step(model, tx, cfg, donate=False)
+
+ds = RawTokenDataset(data_dir, window_size=cfg.T, stride=1)
+loader = ShardedBatchLoader(ds, global_batch_size=8,
+                            process_index=jax.process_index(),
+                            process_count=jax.process_count(), seed=1)
+losses = []
+for i, batch in enumerate(loader.epoch(0)):
+    tokens = put_global_batch(jnp.asarray(batch["tokens"]), mesh)
+    state, m = step(state, tokens)
+    losses.append(float(m["loss"]))
+    if i >= 2:
+        break
+print("RESULT", json.dumps({"pid": pid, "losses": losses}), flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_distributed_training(tmp_path):
+    from tpu1x.data.token_store import write_token_dataset
+    rng = np.random.RandomState(0)
+    tokens = rng.randint(0, 64, (64, 4, 4)).astype(np.uint32)
+    write_token_dataset(tmp_path / "ds", tokens, vocab_size=64,
+                        segment_ids=np.zeros(64, dtype=np.int32))
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER, str(port), str(pid),
+             str(tmp_path / "ds")],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err[-3000:]
+        outs.append(out)
+
+    results = []
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith("RESULT")][0]
+        results.append(json.loads(line[len("RESULT "):]))
+    # both hosts observe the same global losses
+    np.testing.assert_allclose(results[0]["losses"], results[1]["losses"],
+                               rtol=1e-5)
+    assert len(results[0]["losses"]) == 3
+    assert all(np.isfinite(results[0]["losses"]))

@@ -56,3 +56,17 @@ def rollout_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def put_global_batch(local_batch, mesh: Mesh) -> jax.Array:
+    """Assemble a globally batch-sharded array from per-host local data.
+
+    Single-process: a plain device_put. Multi-host (jax.distributed): each
+    host contributes its ShardedBatchLoader slice and the result is a global
+    array over the full mesh — the TPU-native replacement for DDP samplers
+    (SURVEY.md §5.8).
+    """
+    sharding = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(local_batch, sharding)
+    return jax.make_array_from_process_local_data(sharding, local_batch)

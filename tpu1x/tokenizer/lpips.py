@@ -50,10 +50,41 @@ class VGG16Features(nn.Module):
         return taps
 
 
+class AlexNetFeatures(nn.Module):
+    """AlexNet trunk emitting the 5 LPIPS taps (the reference evaluator uses
+    `lpips.LPIPS(net="alex")`, evaluate.py:154)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x) -> Sequence[jnp.ndarray]:
+        taps = []
+        x = nn.Conv(64, (11, 11), strides=(4, 4), padding=2,
+                    dtype=self.dtype, name="conv1")(x)
+        x = nn.relu(x)
+        taps.append(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = nn.Conv(192, (5, 5), padding=2, dtype=self.dtype, name="conv2")(x)
+        x = nn.relu(x)
+        taps.append(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = nn.Conv(384, (3, 3), padding=1, dtype=self.dtype, name="conv3")(x)
+        x = nn.relu(x)
+        taps.append(x)
+        x = nn.Conv(256, (3, 3), padding=1, dtype=self.dtype, name="conv4")(x)
+        x = nn.relu(x)
+        taps.append(x)
+        x = nn.Conv(256, (3, 3), padding=1, dtype=self.dtype, name="conv5")(x)
+        x = nn.relu(x)
+        taps.append(x)
+        return taps
+
+
 class LPIPS(nn.Module):
     """Learned perceptual distance. Inputs NHWC in [-1, 1]."""
 
     dtype: jnp.dtype = jnp.float32
+    net: str = "vgg"  # "vgg" (tokenizer loss) | "alex" (eval, fastest)
 
     @nn.compact
     def __call__(self, x, y) -> jnp.ndarray:
@@ -62,9 +93,12 @@ class LPIPS(nn.Module):
         x = (x - shift) / scale
         y = (y - shift) / scale
 
-        vgg = VGG16Features(dtype=self.dtype, name="vgg")
-        feats_x = vgg(x)
-        feats_y = vgg(y)
+        if self.net == "alex":
+            trunk = AlexNetFeatures(dtype=self.dtype, name="alex")
+        else:
+            trunk = VGG16Features(dtype=self.dtype, name="vgg")
+        feats_x = trunk(x)
+        feats_y = trunk(y)
 
         total = 0.0
         for i, (fx, fy) in enumerate(zip(feats_x, feats_y)):
@@ -77,6 +111,37 @@ class LPIPS(nn.Module):
             contrib = (diff * jnp.abs(w)).sum(-1, keepdims=True)
             total = total + contrib.mean(axis=(1, 2, 3))
         return total  # (B,)
+
+
+def load_lpips_alex_params(torch_state_dict) -> Any:
+    """Convert the lpips package's AlexNet checkpoint to our pytree.
+
+    Expected keys: `net.slice{1-5}.{idx}.weight/bias` (torchvision AlexNet
+    features indices 0,3,6,8,10) and `lin{0-4}.model.1.weight`.
+    """
+    def to_np(v):
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return np.asarray(v)
+
+    sd = {k: to_np(v) for k, v in torch_state_dict.items()}
+    tv_idx = [0, 3, 6, 8, 10]
+    alex_params = {}
+    for i, idx in enumerate(tv_idx):
+        for k in list(sd):
+            if k.endswith(f".{idx}.weight") and "lin" not in k:
+                alex_params[f"conv{i + 1}"] = {
+                    "kernel": sd[k].transpose(2, 3, 1, 0),
+                    "bias": sd[k.replace("weight", "bias")],
+                }
+                break
+    params = {"alex": alex_params}
+    for i in range(5):
+        for key in (f"lin{i}.model.1.weight", f"lins.{i}.model.1.weight"):
+            if key in sd:
+                params[f"lin_{i}"] = sd[key].reshape(-1)
+                break
+    return jax.tree_util.tree_map(jnp.asarray, params)
 
 
 def load_lpips_params(torch_state_dict) -> Any:

@@ -26,7 +26,7 @@ import numpy as np
 from tpu1x.config import GenieConfig
 from tpu1x.data.token_store import RawTokenDataset, ShardedBatchLoader
 from tpu1x.models.st_maskgit import STMaskGIT, count_params, flops_per_update_step
-from tpu1x.parallel.mesh import batch_sharding, make_mesh
+from tpu1x.parallel.mesh import batch_sharding, make_mesh, put_global_batch
 from tpu1x.train.checkpoint import Checkpointer, load_pretrained, save_pretrained
 from tpu1x.train.optim import build_optimizer
 from tpu1x.train.step import (create_train_state, make_eval_step,
@@ -216,6 +216,21 @@ def main(argv=None):
     checkpointing_steps = (int(args.checkpointing_steps)
                            if args.checkpointing_steps.isdigit() else None)
 
+    # Preemption handling (the reference has none, SURVEY.md §5.3): on
+    # SIGTERM/SIGINT finish the current step, checkpoint, and exit cleanly.
+    import signal
+    preempted = {"flag": False}
+
+    def _handle(sig, frame):
+        print(f"received signal {sig}; checkpointing at next step boundary")
+        preempted["flag"] = True
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _handle)
+        except ValueError:
+            pass  # not in main thread
+
     completed_steps = int(state.step)
     loss_sum, loss_count = 0.0, 0
     _t = time.time()
@@ -226,8 +241,7 @@ def main(argv=None):
         skip = start_batch if epoch == 0 else 0
         start_batch = 0
         for i, batch in enumerate(loader.epoch(epoch, start_batch=skip)):
-            tokens = jax.device_put(jnp.asarray(batch["tokens"]),
-                                    batch_sharding(mesh))
+            tokens = put_global_batch(jnp.asarray(batch["tokens"]), mesh)
             state, metrics = train_step(state, tokens)
             is_update = (i + 1) % args.gradient_accumulation_steps == 0
             loss_sum += float(metrics["loss"])
@@ -267,6 +281,12 @@ def main(argv=None):
                 logger.log(eval_metrics, step=completed_steps)
                 print(f"step {completed_steps} {eval_metrics}")
 
+            if preempted["flag"]:
+                ckpt.save(state, f"step_{completed_steps}")
+                print(f"preemption checkpoint saved at step {completed_steps}")
+                done = True
+                break
+
             if completed_steps >= args.max_train_steps:
                 done = True
                 break
@@ -286,8 +306,7 @@ def run_eval(eval_step, state, eval_loader, mesh, max_eval_steps, seed):
         if i >= max_eval_steps:
             break
         rng, sub = jax.random.split(rng)
-        tokens = jax.device_put(jnp.asarray(batch["tokens"]),
-                                batch_sharding(mesh))
+        tokens = put_global_batch(jnp.asarray(batch["tokens"]), mesh)
         m = eval_step(state.params, tokens, sub)
         losses.append(float(m["loss"]))
         accs.append(float(m["acc"]))
