@@ -241,6 +241,9 @@ def parse_args():
     p.add_argument("--window_size", type=int, default=16)
     p.add_argument("--stride", type=int, default=15)
     p.add_argument("--rows_per_chunk", type=int, default=64)
+    p.add_argument("--no_kv_cache", action="store_true",
+                   help="use the full-forward row-expansion path instead of "
+                        "the KV-cached evaluator")
     p.add_argument("--tokenizer_ckpt", type=str, default=None,
                    help="Optional MAGVIT2 tokenizer checkpoint for LPIPS.")
     return p.parse_args()
@@ -265,7 +268,8 @@ def main():
     evaluator = GenieEvaluator(model, params, config,
                                maskgit_steps=args.maskgit_steps,
                                temperature=args.temperature,
-                               rows_per_chunk=args.rows_per_chunk)
+                               rows_per_chunk=args.rows_per_chunk,
+                               use_cache=not args.no_kv_cache)
     results = evaluate_dataset(
         evaluator, dataset, batch_size=args.batch_size,
         max_examples=args.max_examples, decode_latents=decode_latents,

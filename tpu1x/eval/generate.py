@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu1x.data.token_store import RawTokenDataset, write_token_dataset
-from tpu1x.models.sampler import generate
+from tpu1x.models.sampler import generate, generate_cached
 from tpu1x.models.st_maskgit import STMaskGIT
 
 
@@ -42,6 +42,9 @@ def parse_args():
     p.add_argument("--maskgit_steps", type=int, default=2)
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no_kv_cache", action="store_true",
+                   help="use the full-forward sampler instead of the "
+                        "KV-cached decode path")
     return p.parse_args()
 
 
@@ -65,13 +68,26 @@ def main():
 
     @jax.jit
     def gen_jit(params, prompt, rng):
-        def logits_fn(tokens_BTHW):
-            return model.apply({"params": params}, tokens_BTHW,
-                               method=STMaskGIT.compute_logits)
-        return generate(logits_fn, prompt,
-                        args.window_size - args.num_prompt_frames, rng,
-                        config, maskgit_steps=args.maskgit_steps,
-                        temperature=args.temperature)
+        n_new = args.window_size - args.num_prompt_frames
+        if args.no_kv_cache:
+            def logits_fn(tokens_BTHW):
+                return model.apply({"params": params}, tokens_BTHW,
+                                   method=STMaskGIT.compute_logits)
+            return generate(logits_fn, prompt, n_new, rng, config,
+                            maskgit_steps=args.maskgit_steps,
+                            temperature=args.temperature)
+
+        def prefill_fn(tokens_BPHW):
+            return model.apply({"params": params}, tokens_BPHW,
+                               method=STMaskGIT.prefill)
+
+        def decode_fn(frame_BS, t_B, cache):
+            return model.apply({"params": params}, frame_BS, t_B, cache,
+                               method=STMaskGIT.decode_frame)
+
+        return generate_cached(prefill_fn, decode_fn, prompt, n_new, rng,
+                               config, maskgit_steps=args.maskgit_steps,
+                               temperature=args.temperature)
 
     start = time.time()
     out_tokens, _ = gen_jit(params, prompt, jax.random.PRNGKey(args.seed))
