@@ -53,6 +53,7 @@ def test_train_cli_end_to_end(tiny_setup):
         "--per_device_train_batch_size", "2",
         "--per_device_eval_batch_size", "1", "--max_train_steps", "3",
         "--eval_every_n_steps", "2", "--max_eval_steps", "1",
+        "--vis_every_n_steps", "3",
         "--checkpointing_steps", "2", "--learning_rate", "1e-3",
         "--report_to", "jsonl"], cwd=str(root))
     assert r.returncode == 0, r.stderr[-3000:]
@@ -61,6 +62,7 @@ def test_train_cli_end_to_end(tiny_setup):
              (out_dir / "metrics.jsonl").read_text().splitlines()]
     assert any("train_loss" in l for l in lines)
     assert any("eval_loss" in l for l in lines)
+    assert (out_dir / "vis_step_3" / "video.bin").exists()
 
     # resume from the step_2 checkpoint
     r2 = run_module("tpu1x.train.train", [

@@ -281,6 +281,11 @@ def main(argv=None):
                 logger.log(eval_metrics, step=completed_steps)
                 print(f"step {completed_steps} {eval_metrics}")
 
+            if completed_steps % args.vis_every_n_steps == 0 \
+                    and jax.process_index() == 0:
+                visualize(model, state, config, eval_dataset, args,
+                          completed_steps)
+
             if preempted["flag"]:
                 ckpt.save(state, f"step_{completed_steps}")
                 print(f"preemption checkpoint saved at step {completed_steps}")
@@ -297,6 +302,54 @@ def main(argv=None):
     save_pretrained(Path(args.output_dir) / "final_checkpt_hf", state.params,
                     config)
     print("training done")
+
+
+def visualize(model, state, config, eval_dataset, args, step):
+    """Autoregressive sample rollouts written as a token-stream dataset
+    (the reference logs decoded figures to wandb, train.py:247-322; here the
+    tokens go to `{output_dir}/vis_step_N/` for `tpu1x.eval.visualize`)."""
+    import functools
+
+    from tpu1x.data.token_store import write_token_dataset
+    from tpu1x.models.sampler import generate_cached
+    from tpu1x.models.st_maskgit import STMaskGIT
+
+    try:
+        n = min(4, len(eval_dataset))
+        if n == 0:
+            return
+        tokens = eval_dataset.get_batch(np.arange(n))  # (n, T, H, W)
+        num_prompt = args.window_size // 2  # half context (train.py:270)
+        prompt = jnp.asarray(tokens[:, :num_prompt].reshape(n, -1))
+
+        @jax.jit
+        def gen(params, prompt, rng):
+            def prefill_fn(t):
+                return model.apply({"params": params}, t,
+                                   method=STMaskGIT.prefill)
+
+            def decode_fn(f, t, c):
+                return model.apply({"params": params}, f, t, c,
+                                   method=STMaskGIT.decode_frame)
+
+            out, _ = generate_cached(prefill_fn, decode_fn, prompt,
+                                     args.window_size - num_prompt, rng,
+                                     config, maskgit_steps=2)
+            return out
+
+        out = np.asarray(gen(state.params, prompt, jax.random.PRNGKey(step)))
+        h = config.latent_side_len
+        stream = np.concatenate([
+            out.reshape(n, args.window_size, h, h),
+            tokens[:, num_prompt:],
+        ], axis=1).reshape(-1, h, h)
+        write_token_dataset(
+            Path(args.output_dir) / f"vis_step_{step}", stream,
+            vocab_size=config.image_vocab_size,
+            extra_metadata={"num_prompt_frames": num_prompt,
+                            "window_size": args.window_size})
+    except Exception as e:  # visualization must never kill training
+        print(f"visualization failed at step {step}: {e}")
 
 
 def run_eval(eval_step, state, eval_loader, mesh, max_eval_steps, seed):
