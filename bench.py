@@ -26,7 +26,8 @@ def main():
     import jax.numpy as jnp
 
     try:  # persistent compile cache makes repeated driver runs fast
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
