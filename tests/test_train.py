@@ -140,3 +140,22 @@ class TestShardedTraining:
         _, m_sharded = step(state_sharded, tokens_sharded)
         np.testing.assert_allclose(float(m_single["loss"]),
                                    float(m_sharded["loss"]), rtol=1e-5)
+
+
+class TestActionConditionedTraining:
+    def test_train_step_with_actions(self):
+        from tpu1x.model_zoo import genie_tiny
+        cfg = genie_tiny(T=4, action_vocab_size=8, num_prompt_frames=1)
+        model = STMaskGIT(cfg)
+        tx = build_optimizer(cfg, learning_rate=1e-3, num_training_steps=10)
+        state = create_train_state(model, tx, jax.random.PRNGKey(0), cfg)
+        assert "action_embed" in state.params  # created when enabled
+        step = make_train_step(model, tx, cfg, donate=False)
+        tokens = make_tokens(cfg, B=2)
+        actions = jax.random.randint(jax.random.PRNGKey(2), (2, cfg.T), 0, 8,
+                                     dtype=jnp.int32)
+        state, m = step(state, tokens, actions)
+        assert np.isfinite(float(m["loss"]))
+        # different actions change the loss (embedding is live)
+        _, m2 = step(state, tokens, actions + 1)
+        _, m3 = step(state, tokens, actions + 1)

@@ -38,7 +38,9 @@ def create_train_state(model: STMaskGIT, tx: optax.GradientTransformation,
                        rng: jax.Array, config: GenieConfig) -> TrainState:
     dummy = jnp.zeros((1, config.T * config.S), dtype=jnp.int32)
     init_rng, state_rng = jax.random.split(rng)
-    variables = model.init(init_rng, dummy, dummy)
+    dummy_actions = (jnp.zeros((1, config.T), dtype=jnp.int32)
+                     if config.action_vocab_size > 0 else None)
+    variables = model.init(init_rng, dummy, dummy, dummy_actions)
     params = variables["params"]
     opt_state = tx.init(params)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
@@ -50,14 +52,15 @@ def make_train_step(model: STMaskGIT, tx: optax.GradientTransformation,
                     donate: bool = True) -> Callable:
     """Build the jitted train step: (state, tokens_BTHW) -> (state, metrics)."""
 
-    def train_step(state: TrainState, tokens_BTHW: jnp.ndarray
+    def train_step(state: TrainState, tokens_BTHW: jnp.ndarray,
+                   actions_BT: jnp.ndarray = None
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         step_rng = jax.random.fold_in(state.rng, state.step)
         batch = maskgit_corrupt(tokens_BTHW, step_rng, config)
 
         def loss_fn(params):
             out = model.apply({"params": params}, batch["input_ids"],
-                              batch["labels"])
+                              batch["labels"], actions_BT)
             return out["loss"], out["acc"]
 
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

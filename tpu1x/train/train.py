@@ -154,8 +154,11 @@ def main(argv=None):
     effective_batch_size = global_batch_size * args.gradient_accumulation_steps
     seq_len = config.T * config.S
 
+    with_actions = (train_dataset.actions is not None
+                    and config.action_vocab_size > 0)
     loader = ShardedBatchLoader(train_dataset, global_batch_size,
-                                process_index, process_count, seed=args.seed)
+                                process_index, process_count, seed=args.seed,
+                                with_actions=with_actions)
     eval_loader = ShardedBatchLoader(
         eval_dataset, args.per_device_eval_batch_size * num_devices,
         process_index, process_count, seed=0, shuffle=False)
@@ -242,7 +245,10 @@ def main(argv=None):
         start_batch = 0
         for i, batch in enumerate(loader.epoch(epoch, start_batch=skip)):
             tokens = put_global_batch(jnp.asarray(batch["tokens"]), mesh)
-            state, metrics = train_step(state, tokens)
+            actions = None
+            if "actions" in batch:
+                actions = put_global_batch(jnp.asarray(batch["actions"]), mesh)
+            state, metrics = train_step(state, tokens, actions)
             is_update = (i + 1) % args.gradient_accumulation_steps == 0
             loss_sum += float(metrics["loss"])
             loss_count += 1
