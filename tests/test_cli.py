@@ -1,6 +1,7 @@
 """CLI smoke tests: train / generate / evaluate / visualize on tiny data."""
 
 import json
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -14,6 +15,10 @@ from tpu1x.data.token_store import write_token_dataset
 ENV_PREFIX = ("import jax; jax.config.update('jax_platforms','cpu'); "
               "import sys; ")
 
+# Subprocesses run from a tmp cwd; make the repo importable without
+# requiring `pip install -e .`.
+REPO_ROOT = str(Path(__file__).resolve().parents[1])
+
 
 def make_dataset(tmp_path, n=80, s=4, vocab=64):
     rng = np.random.RandomState(0)
@@ -26,7 +31,9 @@ def make_dataset(tmp_path, n=80, s=4, vocab=64):
 def run_module(module, argv, cwd):
     code = (ENV_PREFIX + f"sys.argv = {['x'] + argv!r}; "
             f"import runpy; runpy.run_module('{module}', run_name='__main__')")
-    return subprocess.run([sys.executable, "-c", code], cwd=cwd,
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run([sys.executable, "-c", code], cwd=cwd, env=env,
                           capture_output=True, text=True, timeout=600)
 
 

@@ -8,12 +8,16 @@ batch shards, and run sharded train steps. Losses must agree across hosts
 """
 
 import json
+import os
 import subprocess
 import sys
 import socket
+from pathlib import Path
 
 import numpy as np
 import pytest
+
+REPO_ROOT = str(Path(__file__).resolve().parents[1])
 
 WORKER = r"""
 import sys, os, json
@@ -71,11 +75,13 @@ def test_two_process_distributed_training(tmp_path):
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
 
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", WORKER, str(port), str(pid),
              str(tmp_path / "ds")],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
         for pid in range(2)
     ]
     outs = []
