@@ -32,9 +32,12 @@ def main():
     except Exception:
         pass
 
+    import functools
+
     from tpu1x.model_zoo import genie_138m
     from tpu1x.models.sampler import generate_cached
     from tpu1x.models.st_maskgit import STMaskGIT
+    from tpu1x.serving import DecodeEngine, prepare_serving_params
 
     config = genie_138m()
     model = STMaskGIT(config)
@@ -47,6 +50,10 @@ def main():
     rng = jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, config.T * config.S), dtype=jnp.int32)
     params = model.init(rng, dummy, dummy)["params"]
+    # Serving path: bf16 weights (cast once), unrolled decode loop, fused
+    # Pallas decode-attention kernel (tpu1x/serving.py).
+    sparams = prepare_serving_params(params)
+    engine = DecodeEngine(config)
 
     prompt = jax.random.randint(
         jax.random.PRNGKey(1), (batch, num_prompt * config.S), 0,
@@ -55,15 +62,12 @@ def main():
     # params must be a jit ARGUMENT — closing over them would bake 138M
     # weights into the program as constants and explode compile time.
     @jax.jit
-    def gen(params, prompt, rng):
+    def gen(sparams, prompt, rng):
         def prefill_fn(tokens_BPHW):
-            return model.apply({"params": params}, tokens_BPHW,
+            return model.apply({"params": sparams}, tokens_BPHW,
                                method=STMaskGIT.prefill)
 
-        def decode_fn(frame_BS, t_B, cache):
-            return model.apply({"params": params}, frame_BS, t_B, cache,
-                               method=STMaskGIT.decode_frame)
-
+        decode_fn = functools.partial(engine.decode_frame, sparams)
         return generate_cached(prefill_fn, decode_fn, prompt, num_new, rng,
                                config, maskgit_steps=maskgit_steps)
 
@@ -71,7 +75,7 @@ def main():
     # the latter returns early on the tunneled axon backend.
     t0 = time.perf_counter()
     print(f"compiling ({jax.default_backend()})...", file=sys.stderr, flush=True)
-    out, _ = gen(params, prompt, jax.random.PRNGKey(2))
+    out, _ = gen(sparams, prompt, jax.random.PRNGKey(2))
     jax.device_get(out)
     print(f"compiled in {time.perf_counter() - t0:.1f}s", file=sys.stderr,
           flush=True)
@@ -79,7 +83,7 @@ def main():
     iters = 5
     start = time.perf_counter()
     for i in range(iters):
-        out, _ = gen(params, prompt, jax.random.PRNGKey(3 + i))
+        out, _ = gen(sparams, prompt, jax.random.PRNGKey(3 + i))
     jax.device_get(out)
     elapsed = time.perf_counter() - start
 

@@ -1,0 +1,120 @@
+"""Profile the KV-cached generation hot loop and print an op-time breakdown.
+
+Captures a jax.profiler perfetto trace of steady-state `generate_cached` on
+GENIE_138M (the bench.py workload) and aggregates device-track slice
+durations by HLO op category, so kernel-level optimization is driven by
+measurement rather than guesswork (SURVEY.md §5.1, §7.8).
+
+Usage: python benchmarks/profile_gen.py [--steps 2] [--batch 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def capture(batch: int, maskgit_steps: int, logdir: str):
+    import jax
+    import jax.numpy as jnp
+
+    from tpu1x.model_zoo import genie_138m
+    from tpu1x.models.sampler import generate_cached
+    from tpu1x.models.st_maskgit import STMaskGIT
+
+    config = genie_138m()
+    model = STMaskGIT(config)
+    num_prompt = 8
+    num_new = config.T - num_prompt
+
+    rng = jax.random.PRNGKey(0)
+    dummy = jnp.zeros((1, config.T * config.S), dtype=jnp.int32)
+    params = model.init(rng, dummy, dummy)["params"]
+    prompt = jax.random.randint(
+        jax.random.PRNGKey(1), (batch, num_prompt * config.S), 0,
+        config.image_vocab_size, dtype=jnp.int32)
+
+    @jax.jit
+    def gen(params, prompt, rng):
+        def prefill_fn(t):
+            return model.apply({"params": params}, t, method=STMaskGIT.prefill)
+
+        def decode_fn(f, t, c):
+            return model.apply({"params": params}, f, t, c,
+                               method=STMaskGIT.decode_frame)
+
+        return generate_cached(prefill_fn, decode_fn, prompt, num_new, rng,
+                               config, maskgit_steps=maskgit_steps)
+
+    out, _ = gen(params, prompt, jax.random.PRNGKey(2))  # compile + warmup
+    jax.device_get(out)
+
+    jax.profiler.start_trace(logdir, create_perfetto_trace=True)
+    t0 = time.perf_counter()
+    out, _ = gen(params, prompt, jax.random.PRNGKey(3))
+    jax.device_get(out)
+    wall = time.perf_counter() - t0
+    jax.profiler.stop_trace()
+    print(f"steady-state wall: {wall*1e3:.1f} ms "
+          f"({wall / (num_new * batch) * 1e3:.3f} ms/frame)", file=sys.stderr)
+    return wall
+
+
+def analyze(logdir: str, top: int = 40):
+    paths = glob.glob(os.path.join(logdir, "**", "*.json.gz"), recursive=True)
+    if not paths:
+        print("no perfetto trace found under", logdir)
+        return
+    with gzip.open(sorted(paths)[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace["traceEvents"] if isinstance(trace, dict) else trace
+
+    # find device (TPU) track pids
+    pid_names = {e["pid"]: e["args"].get("name", "")
+                 for e in events
+                 if e.get("ph") == "M" and e.get("name") == "process_name"}
+    device_pids = {pid for pid, name in pid_names.items()
+                   if "TPU" in name or "/device" in name.lower()}
+
+    by_name = collections.Counter()
+    calls = collections.Counter()
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        dur = e.get("dur", 0)  # microseconds
+        name = e.get("name", "?")
+        by_name[name] += dur
+        calls[name] += 1
+        total += dur
+    print(f"device tracks: {[pid_names[p] for p in device_pids]}")
+    print(f"total device slice time: {total/1e3:.1f} ms")
+    print(f"{'op':<60} {'ms':>9} {'%':>6} {'calls':>7}")
+    for name, dur in by_name.most_common(top):
+        print(f"{name[:60]:<60} {dur/1e3:>9.2f} {dur/total*100:>6.1f} "
+              f"{calls[name]:>7}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=2)
+    ap.add_argument("--logdir", type=str, default=None)
+    ap.add_argument("--analyze_only", type=str, default=None)
+    args = ap.parse_args()
+    if args.analyze_only:
+        analyze(args.analyze_only)
+    else:
+        logdir = args.logdir or tempfile.mkdtemp(prefix="tpu1x_prof_")
+        capture(args.batch, args.steps, logdir)
+        print(f"trace in {logdir}")
+        analyze(logdir)

@@ -1,0 +1,146 @@
+"""Serving decode engine parity vs the flax model (the decode oracle).
+
+Pattern: the reference keeps a slow obvious implementation as the oracle for
+its fast kernel (test_attention.py); here flax STMaskGIT.decode_frame is the
+oracle for tpu1x/serving.py's unrolled pure-JAX engine and the Pallas decode
+attention kernel (interpret mode on CPU).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu1x.model_zoo import genie_tiny
+from tpu1x.models.sampler import generate_cached
+from tpu1x.models.st_maskgit import STMaskGIT
+from tpu1x.serving import DecodeEngine, prepare_serving_params
+
+
+def setup_model(qk_norm=False, use_mup=False, action_vocab_size=0):
+    cfg = genie_tiny(T=4, num_prompt_frames=2, num_heads=2, d_model=32)
+    cfg.qk_norm = qk_norm
+    cfg.use_mup = use_mup
+    cfg.action_vocab_size = action_vocab_size
+    cfg.__post_init__()
+    model = STMaskGIT(cfg)
+    dummy = jnp.zeros((1, cfg.T * cfg.S), jnp.int32)
+    dummy_act = (jnp.zeros((1, cfg.T), jnp.int32)
+                 if action_vocab_size > 0 else None)
+    params = model.init(jax.random.PRNGKey(0), dummy, dummy,
+                        dummy_act)["params"]
+    return cfg, model, params
+
+
+@pytest.mark.parametrize("qk_norm,use_mup", [(False, False), (True, True)])
+def test_engine_decode_matches_flax(qk_norm, use_mup):
+    cfg, model, params = setup_model(qk_norm=qk_norm, use_mup=use_mup)
+    B = 3
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (B, 2, 4, 4), 0,
+                                cfg.image_vocab_size, dtype=jnp.int32)
+    cache = model.apply({"params": params}, prompt, method=STMaskGIT.prefill)
+    frame = jax.random.randint(jax.random.PRNGKey(2), (B, cfg.S), 0,
+                               cfg.image_vocab_size, dtype=jnp.int32)
+    frame = frame.at[:, :5].set(cfg.mask_token_id)
+    t_B = jnp.array([2, 2, 2], jnp.int32)
+
+    ref_logits, (ref_k, ref_v) = model.apply(
+        {"params": params}, frame, t_B, cache, method=STMaskGIT.decode_frame)
+    engine = DecodeEngine(cfg, attn_impl="xla")
+    sparams = prepare_serving_params(params)
+    logits, (k_cur, v_cur) = engine.decode_frame(sparams, frame, t_B, cache)
+
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(k_cur, np.float32),
+                               np.asarray(ref_k, np.float32), atol=2e-2,
+                               rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(v_cur, np.float32),
+                               np.asarray(ref_v, np.float32), atol=2e-2,
+                               rtol=2e-2)
+
+
+def test_engine_action_conditioning():
+    cfg, model, params = setup_model(action_vocab_size=7)
+    B = 2
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (B, 2, 4, 4), 0,
+                                cfg.image_vocab_size, dtype=jnp.int32)
+    cache = model.apply({"params": params}, prompt, method=STMaskGIT.prefill)
+    frame = jnp.full((B, cfg.S), cfg.mask_token_id, jnp.int32)
+    t_B = jnp.array([2, 2], jnp.int32)
+    action = jnp.array([1, 4], jnp.int32)
+
+    ref_logits, _ = model.apply(
+        {"params": params}, frame, t_B, cache, action,
+        method=STMaskGIT.decode_frame)
+    engine = DecodeEngine(cfg, attn_impl="xla")
+    sparams = prepare_serving_params(params)
+    logits, _ = engine.decode_frame(sparams, frame, t_B, cache, action)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               atol=2e-2, rtol=2e-2)
+    # actions must actually change the logits
+    logits0, _ = engine.decode_frame(sparams, frame, t_B, cache, jnp.zeros((B,), jnp.int32))
+    assert not np.allclose(np.asarray(logits), np.asarray(logits0))
+
+
+def test_engine_full_rollout_matches_flax():
+    """generate_cached driven by the engine == driven by the flax model."""
+    cfg, model, params = setup_model()
+    B = 2
+    prompt = jax.random.randint(jax.random.PRNGKey(3), (B, 2 * cfg.S), 0,
+                                cfg.image_vocab_size, dtype=jnp.int32)
+
+    engine = DecodeEngine(cfg, attn_impl="xla")
+    sparams = prepare_serving_params(params)
+
+    def prefill_fn(t):
+        return model.apply({"params": sparams}, t, method=STMaskGIT.prefill)
+
+    def flax_decode(f, t, c):
+        return model.apply({"params": sparams}, f, t, c,
+                           method=STMaskGIT.decode_frame)
+
+    gen = functools.partial(generate_cached, prefill_fn,
+                            input_ids_BN=prompt, num_new_frames=cfg.T - 2,
+                            rng=jax.random.PRNGKey(7), config=cfg,
+                            maskgit_steps=2)
+    tokens_ref, logits_ref = gen(flax_decode)
+    tokens_eng, logits_eng = gen(functools.partial(engine.decode_frame,
+                                                   sparams))
+    # Prompt region must round-trip exactly.
+    np.testing.assert_array_equal(np.asarray(tokens_eng)[:, :2 * cfg.S],
+                                  np.asarray(tokens_ref)[:, :2 * cfg.S])
+    # Random-init logits are near-uniform, so fp reassociation can flip
+    # argmax ties on a few tokens; require overwhelming agreement plus
+    # close step-0 logits on the first generated frame (before any token
+    # divergence can feed back).
+    agree = (np.asarray(tokens_eng) == np.asarray(tokens_ref)).mean()
+    assert agree >= 0.9, agree
+    np.testing.assert_allclose(np.asarray(logits_eng)[:, :, :, 0],
+                               np.asarray(logits_ref)[:, :, :, 0],
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_pallas_decode_kernel_parity_interpret():
+    """Pallas kernel vs jnp oracle in interpreter mode (CPU)."""
+    from tpu1x.ops.decode_attention import (
+        temporal_decode_attention, temporal_decode_attention_reference)
+    L, B, S, T, C, H = 3, 4, 32, 5, 64, 4
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    q = jax.random.normal(ks[0], (B, S, C), jnp.bfloat16)
+    kc = jax.random.normal(ks[1], (L, B, S, T, C), jnp.bfloat16)
+    vc = jax.random.normal(ks[2], (L, B, S, T, C), jnp.bfloat16)
+    kcur = jax.random.normal(ks[3], (B, S, C), jnp.bfloat16)
+    vcur = jax.random.normal(ks[4], (B, S, C), jnp.bfloat16)
+    tB = jnp.array([1, 2, 3, 4], jnp.int32)
+    for layer in (0, 2):
+        ref = temporal_decode_attention_reference(
+            q, kc[layer], vc[layer], kcur, vcur, tB, scale=0.25, num_heads=H)
+        out = temporal_decode_attention(
+            q, kc, vc, kcur, vcur, tB, layer=layer, scale=0.25, num_heads=H,
+            tile_s=16, interpret=True)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=2e-2, rtol=2e-2)

@@ -116,7 +116,9 @@ class STMaskGIT(nn.Module):
 
         Args:
             tokens_BPHW: (B, P, H, W) committed frames, P <= T.
-        Returns cache {"k","v"}: (L, B, S, T, H, D), slots >= P zero-padded.
+        Returns cache {"k","v"}: (L, B, S, T, C) with heads flattened into
+        C = num_heads * head_dim (TPU-tile-friendly minor dim), slots >= P
+        zero-padded.
         """
         cfg = self.config
         B, P, H, W = tokens_BPHW.shape
@@ -127,7 +129,7 @@ class STMaskGIT(nn.Module):
         _, (k, v) = self.decoder.prefill(x)
         pad = cfg.T - P
         if pad > 0:
-            pad_widths = [(0, 0), (0, 0), (0, 0), (0, pad), (0, 0), (0, 0)]
+            pad_widths = [(0, 0), (0, 0), (0, 0), (0, pad), (0, 0)]
             k = jnp.pad(k, pad_widths)
             v = jnp.pad(v, pad_widths)
         return {"k": k, "v": v}
@@ -143,7 +145,7 @@ class STMaskGIT(nn.Module):
             cache: {"k","v"} from `prefill`.
 
         Returns: (logits (B, S, V, F) float32, kv_cur (k, v) each
-        (L, B, S, 1, H, D) for `update_cache`).
+        (L, B, S, 1, C) for `update_cache`).
         """
         cfg = self.config
         t_B = jnp.broadcast_to(jnp.asarray(t_B, jnp.int32),
@@ -218,7 +220,7 @@ def update_cache(cache: Dict[str, jnp.ndarray], kv_cur, t) -> Dict[str, jnp.ndar
     """Commit a frame's K/V into cache slot `t` (scalar, may be traced)."""
     k_cur, v_cur = kv_cur
     zeros = (0, 0, 0)
-    idx = (*zeros, jnp.asarray(t, jnp.int32), 0, 0)
+    idx = (*zeros, jnp.asarray(t, jnp.int32), 0)
     return {"k": jax.lax.dynamic_update_slice(cache["k"], k_cur, idx),
             "v": jax.lax.dynamic_update_slice(cache["v"], v_cur, idx)}
 

@@ -61,8 +61,11 @@ class STBlock(nn.Module):
 
     Three entry points sharing one parameter set:
     - `__call__`: the reference forward over (B, T, S, C).
-    - `prefill`: forward that also returns the temporal K/V (B, S, T, H, D)
-      for the KV cache.
+    - `prefill`: forward that also returns the temporal K/V (B, S, T, C)
+      for the KV cache. The cache keeps heads flattened into C = H*D so its
+      minor dimension is MXU/VPU-tile friendly (C=512 -> (8,128) tiles); a
+      head-split (..., H, D=32) trailing layout would be lane-padded 32->128,
+      4x-inflating a multi-GB persistent buffer.
     - `decode_step`: single-frame decode against a cache — the TPU-native
       fast path the reference lacks (its sampler recomputes all T frames
       every MaskGIT step, st_mask_git.py:169); temporal causality makes the
@@ -126,7 +129,8 @@ class STBlock(nn.Module):
             out = mha(q, k, v, scale=self.temporal_attn.scale, causal=True,
                       impl=self.attn_impl)
             x_BSTC = x_BSTC + self.temporal_attn.project(out)
-            kv = (k, v)  # (B, S, T, H, D)
+            B, S, T = k.shape[:3]
+            kv = (k.reshape(B, S, T, -1), v.reshape(B, S, T, -1))  # (B,S,T,C)
         else:
             x_BSTC = x_BSTC + self.temporal_attn(
                 x_BSTC, causal=True, deterministic=self.deterministic)
@@ -148,42 +152,58 @@ class STBlock(nn.Module):
 
         Args:
             x_BSC: (B, S, C) current-frame activations.
-            cache_k/cache_v: (B, S, T, H, D) committed frames' K/V (slots
-                >= each row's t are ignored via masking).
+            cache_k/cache_v: (B, S, T, C) committed frames' K/V, heads
+                flattened (slots >= each row's t are ignored via masking).
             t_B: (B,) int32 current frame index per row.
 
-        Returns: (y_BSC, k_cur, v_cur) with k_cur/v_cur (B, S, 1, H, D) —
+        Returns: (y_BSC, k_cur, v_cur) with k_cur/v_cur (B, S, 1, C) —
         the current frame's temporal K/V for cache commit.
         """
         B, S, C = x_BSC.shape
         T = cache_k.shape[2]
+        H = self.num_heads
+        D = self.d_model // H
 
         # spatial over S
         h = self._n1(x_BSC).astype(self.dtype)
         x = x_BSC + self.spatial_attn(h, causal=False,
                                       deterministic=self.deterministic)
 
-        # temporal: one query position against cache + self
+        # Temporal: one query position against cache + self. The softmax over
+        # [cache slots < t, current token] is computed in two pieces so the
+        # (B, S, T, H, D) cache is never copied into a concatenated buffer —
+        # at GENIE_138M decode shapes that concat alone moves ~8.6 GB of HBM
+        # per call; this form only *reads* the cache (k for logits, v for PV).
         x_q = x[:, :, None, :]  # (B, S, 1, C)
         q, k_cur, v_cur = self.temporal_attn.compute_qkv(x_q)  # (B,S,1,H,D)
-        k_all = jnp.concatenate([cache_k, k_cur], axis=2)  # (B,S,T+1,H,D)
-        v_all = jnp.concatenate([cache_v, v_cur], axis=2)
-        logits = jnp.einsum("bsqhd,bskhd->bshqk", q, k_all,
-                            preferred_element_type=jnp.float32) \
-            * self.temporal_attn.scale
-        t_iota = jnp.arange(T + 1, dtype=jnp.int32)
-        valid = (t_iota[None, :] < t_B[:, None]) | (t_iota[None, :] == T)
-        logits = jnp.where(valid[:, None, None, None, :], logits,
-                           jnp.finfo(jnp.float32).min)
-        probs = jax.nn.softmax(logits, axis=-1).astype(v_all.dtype)
-        out = jnp.einsum("bshqk,bskhd->bsqhd", probs, v_all,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
+        scale = self.temporal_attn.scale
+        q_bshd = q[:, :, 0]  # (B, S, H, D)
+        k_c = cache_k.reshape(B, S, T, H, D)
+        logits_c = jnp.einsum("bshd,bskhd->bshk", q_bshd, k_c,
+                              preferred_element_type=jnp.float32) * scale
+        logit_s = jnp.einsum("bshd,bshd->bsh", q_bshd, k_cur[:, :, 0],
+                             preferred_element_type=jnp.float32) * scale
+        t_iota = jnp.arange(T, dtype=jnp.int32)
+        valid = t_iota[None, :] < t_B[:, None]  # (B, T)
+        logits_c = jnp.where(valid[:, None, None, :], logits_c,
+                             jnp.finfo(jnp.float32).min)
+        # joint softmax over the T cache slots and the self logit
+        m = jnp.maximum(jnp.max(logits_c, axis=-1), logit_s)  # (B,S,H)
+        e_c = jnp.exp(logits_c - m[..., None])
+        e_s = jnp.exp(logit_s - m)
+        denom = jnp.sum(e_c, axis=-1) + e_s  # (B,S,H)
+        p_c = (e_c / denom[..., None]).astype(cache_v.dtype)
+        v_c = cache_v.reshape(B, S, T, H, D)
+        out = jnp.einsum("bshk,bskhd->bshd", p_c, v_c,
+                         preferred_element_type=jnp.float32)
+        out = out + (e_s / denom)[..., None] * v_cur[:, :, 0]
+        out = out.astype(x.dtype).reshape(B, S, 1, H, D)
         x = x + self.temporal_attn.project(out)[:, :, 0, :]
 
         # MLP
         h = self._n2(x).astype(self.dtype)
         x = x + self.mlp(h)
-        return x, k_cur, v_cur
+        return x, k_cur.reshape(B, S, 1, C), v_cur.reshape(B, S, 1, C)
 
 
 class _STBlockScanBody(STBlock):
@@ -241,11 +261,16 @@ class STTransformerDecoder(nn.Module):
         body = _STBlockScanBody
         if self.remat and mode == "forward":
             body = nn.remat(body, prevent_cse=False)
+        # Decode unrolls the layer loop: with static layer indices XLA fuses
+        # each layer's KV-cache slice into its attention consumers instead of
+        # materializing a per-iteration dynamic-slice copy (measured ~60% of
+        # decode wall time at GENIE_138M, benchmarks/profile_gen.py).
         return nn.scan(
             body,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             length=self.num_layers,
+            unroll=self.num_layers if mode == "decode" else 1,
             metadata_params={nn.PARTITION_NAME: None},
         )(**self._block_kwargs(), mode=mode, name="layers")
 
@@ -285,13 +310,13 @@ class STTransformerDecoder(nn.Module):
     def prefill(self, x_BTSC):
         """Forward while collecting per-layer temporal K/V.
 
-        Returns (y_BTSC, (k, v)) with k/v (L, B, S, T, H, D).
+        Returns (y_BTSC, (k, v)) with k/v (L, B, S, T, C), heads flattened.
         """
         return self._run("prefill", x_BTSC)
 
     def decode_step(self, x_BSC, cache_k, cache_v, t_B):
-        """Single-frame decode against per-layer caches (L, B, S, T, H, D).
+        """Single-frame decode against per-layer caches (L, B, S, T, C).
 
-        Returns (y_BSC, (k_cur, v_cur)) with k_cur/v_cur (L, B, S, 1, H, D).
+        Returns (y_BSC, (k_cur, v_cur)) with k_cur/v_cur (L, B, S, 1, C).
         """
         return self._run("decode", x_BSC, cache_k, cache_v, t_B)

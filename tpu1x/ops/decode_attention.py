@@ -1,0 +1,159 @@
+"""Fused temporal decode-attention Pallas TPU kernel.
+
+The KV-cached MaskGIT decode step attends one query frame against the
+temporal cache at every spatial position. This is the bandwidth-critical op
+of generation: at GENIE_138M / batch 16 the per-layer cache slice is
+2 x 67 MB, and the whole stacked cache (~4.3 GB) must stream from HBM once
+per decode call. XLA cannot express "read the bf16 cache exactly once":
+lowering the per-head contraction as multiply+reduce materializes an fp32
+copy of the cache (4x write traffic, measured in benchmarks/profile_gen.py),
+and a batched-matmul form needs a materialized transpose. This kernel reads
+the bf16 cache block directly into VMEM, converts in-registers, and fuses
+logits -> mask -> joint softmax (cache slots + current token) -> PV into one
+pass — HBM traffic is exactly one read of K and V.
+
+The kernel indexes the *stacked* (L, B, S, T, C) cache with a static
+`layer` in its BlockSpec index_map, so the serving loop (tpu1x/serving.py)
+never slices the cache at the XLA level at all.
+
+Replaces: the reference's xformers memory-efficient attention on the
+sampling path (genie/attention.py:65, used by st_mask_git.py:163-169).
+`temporal_decode_attention_reference` is the jnp parity oracle (the
+test_attention.py pattern).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def temporal_decode_attention_reference(q, k_cache_l, v_cache_l, k_cur, v_cur,
+                                        t_B, *, scale: float, num_heads: int):
+    """jnp oracle. Args:
+        q, k_cur, v_cur: (B, S, C) — current frame's projections, heads flat.
+        k_cache_l, v_cache_l: (B, S, T, C) — one layer's cache.
+        t_B: (B,) int32; cache slots >= t are masked out.
+    Returns: (B, S, C) attention output in q.dtype.
+    """
+    B, S, C = q.shape
+    T = k_cache_l.shape[2]
+    H = num_heads
+    D = C // H
+    qf = q.astype(jnp.float32).reshape(B, S, 1, H, D)
+    kf = k_cache_l.astype(jnp.float32).reshape(B, S, T, H, D)
+    logits = (qf * kf).sum(-1) * scale  # (B, S, T, H)
+    logit_s = (q.astype(jnp.float32) * k_cur.astype(jnp.float32)) \
+        .reshape(B, S, H, D).sum(-1) * scale  # (B, S, H)
+    t_iota = jnp.arange(T, dtype=jnp.int32)
+    valid = t_iota[None, :] < t_B[:, None]  # (B, T)
+    logits = jnp.where(valid[:, None, :, None], logits, _NEG_INF)
+    m = jnp.maximum(jnp.max(logits, axis=2), logit_s)  # (B, S, H)
+    e_c = jnp.exp(logits - m[:, :, None, :])
+    e_s = jnp.exp(logit_s - m)
+    denom = e_c.sum(axis=2) + e_s  # (B, S, H)
+    p = e_c / denom[:, :, None, :]
+    vf = v_cache_l.astype(jnp.float32).reshape(B, S, T, H, D)
+    out = (p[..., None] * vf).sum(axis=2)  # (B, S, H, D)
+    out = out + ((e_s / denom)[..., None]
+                 * v_cur.astype(jnp.float32).reshape(B, S, H, D))
+    return out.reshape(B, S, C).astype(q.dtype)
+
+
+def _kernel(t_ref, q_ref, kc_ref, vc_ref, kcur_ref, vcur_ref, o_ref, *,
+            scale: float, num_heads: int):
+    # Mosaic note: C stays the lane dimension throughout — reshapes that
+    # split the minor dim (C -> (H, D)) are unsupported on TPU. Per-head
+    # reductions and broadcasts go through a constant 0/1 head-assignment
+    # matrix E (C, H) as tiny MXU dots instead.
+    b = pl.program_id(0)
+    tb = t_ref[0, b]
+    q = q_ref[0]                              # (TS, C) bf16
+    kcur = kcur_ref[0]
+    vcur = vcur_ref[0]
+    k = kc_ref[0, 0]                          # (TS, T, C) bf16
+    v = vc_ref[0, 0]
+    TS, T, C = k.shape
+    H = num_heads
+    D = C // H
+    E = (jax.lax.broadcasted_iota(jnp.int32, (C, H), 0) // D
+         == jax.lax.broadcasted_iota(jnp.int32, (C, H), 1)).astype(k.dtype)
+
+    # Per-head q.k reductions as MXU dots against the head-assignment
+    # matrix: products stay bf16 (VPU) and accumulate fp32 on the MXU.
+    prod = k * q[:, None, :]                  # (TS, T, C) bf16
+    logits = jnp.dot(prod.reshape(TS * T, C), E,
+                     preferred_element_type=jnp.float32)
+    logits = logits.reshape(TS, T, H) * scale
+    logit_s = jnp.dot(q * kcur, E,
+                      preferred_element_type=jnp.float32) * scale  # (TS, H)
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (TS, T, H), 1)
+    logits = jnp.where(t_iota < tb, logits, _NEG_INF)  # (TS, T, H)
+
+    m = jnp.maximum(jnp.max(logits, axis=1), logit_s)  # (TS, H)
+    e_c = jnp.exp(logits - m[:, None, :])
+    e_s = jnp.exp(logit_s - m)
+    denom = e_c.sum(axis=1) + e_s  # (TS, H)
+    p = (e_c / denom[:, None, :]).astype(v.dtype)  # (TS, T, H)
+    p_exp = jnp.dot(p.reshape(TS * T, H), E.T,
+                    preferred_element_type=jnp.float32
+                    ).astype(v.dtype).reshape(TS, T, C)
+    acc = (p_exp * v).astype(jnp.float32).sum(axis=1)  # (TS, C)
+    ps_exp = jnp.dot((e_s / denom).astype(v.dtype), E.T,
+                     preferred_element_type=jnp.float32)
+    out = acc + ps_exp * vcur.astype(jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("layer", "scale", "num_heads", "tile_s", "interpret"))
+def temporal_decode_attention(q, k_cache, v_cache, k_cur, v_cur, t_B, *,
+                              layer: int, scale: float, num_heads: int,
+                              tile_s: int = 64, interpret: bool = False):
+    """Fused decode attention against layer `layer` of the stacked cache.
+
+    Args:
+        q, k_cur, v_cur: (B, S, C).
+        k_cache, v_cache: (L, B, S, T, C) — the FULL stacked cache; only the
+            blocks of `layer` are streamed from HBM.
+        t_B: (B,) int32 per-row frame index.
+    Returns: (B, S, C) in q.dtype.
+    """
+    B, S, C = q.shape
+    L, _, _, T, _ = k_cache.shape
+    assert 0 <= layer < L, (layer, L)
+    while S % tile_s:
+        tile_s //= 2
+    t2 = t_B.reshape(1, B).astype(jnp.int32)
+
+    bsc = pl.BlockSpec((1, tile_s, C), lambda b, st: (b, st, 0),
+                       memory_space=pltpu.VMEM)
+    cache_spec = pl.BlockSpec(
+        (1, 1, tile_s, T, C), lambda b, st: (layer, b, st, 0, 0),
+        memory_space=pltpu.VMEM)
+    grid = (B, S // tile_s)
+    bytes_cache = 2 * tile_s * T * C * k_cache.dtype.itemsize
+    return pl.pallas_call(
+        functools.partial(_kernel, scale=scale, num_heads=num_heads),
+        out_shape=jax.ShapeDtypeStruct((B, S, C), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, B), lambda b, st: (0, 0),
+                         memory_space=pltpu.SMEM),
+            bsc, cache_spec, cache_spec, bsc, bsc,
+        ],
+        out_specs=bsc,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * S * (T + 1) * C,
+            bytes_accessed=B * (S // tile_s) * bytes_cache,
+            transcendentals=B * S * (T + 1) * num_heads,
+        ),
+        interpret=interpret,
+    )(t2, q, k_cache, v_cache, k_cur, v_cur)

@@ -1,0 +1,237 @@
+"""Serving decode engine: the KV-cached decode step as pure JAX + Pallas.
+
+Why this exists (measured, benchmarks/profile_gen.py): the flax decode path
+runs the layer stack as `nn.scan`, whose per-iteration xs slicing forces XLA
+to materialize each layer's KV-cache slice (and, fused with the einsum
+lowering, an fp32 *copy* of it) — ~60% of decode wall time at GENIE_138M.
+Serving-quality decode needs the cache read exactly once per call, which
+requires (a) an unrolled layer loop with *static* layer indices and (b) a
+fused attention kernel that streams the bf16 cache from HBM
+(tpu1x/ops/decode_attention.py). Neither is expressible through `nn.scan`,
+so the decode step is re-implemented here as plain functions over the same
+parameter pytree the flax model produces (scan layout: leaves stacked over
+layers). The flax `STMaskGIT.decode_frame` remains the parity oracle
+(tests/test_serving.py).
+
+Behavioral contract: identical to `STMaskGIT.decode_frame`
+(tpu1x/models/st_maskgit.py), which itself mirrors the reference sampler's
+per-frame logits (st_mask_git.py:163-169) via temporal causality.
+
+Usage (params always flow as jit ARGUMENTS, never closure constants):
+    engine = DecodeEngine(config)                       # stateless
+    sparams = prepare_serving_params(params)            # bf16 weights, once
+
+    @jax.jit
+    def gen(sparams, prompt, rng):
+        decode_fn = functools.partial(engine.decode_frame, sparams)
+        return generate_cached(prefill_fn, decode_fn, prompt, ...)
+
+`sparams` also works with the flax model (`model.apply({"params": sparams},
+...)`) for the prefill: flax modules cast per-call, so pre-cast bf16 weights
+are a no-op there while fp32 LN/head params keep the mixed-precision policy.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu1x.config import GenieConfig
+from tpu1x.models.factorization import factorize_token_ids
+from tpu1x.ops.attention import mha_reference
+from tpu1x.ops.decode_attention import (temporal_decode_attention,
+                                        temporal_decode_attention_reference)
+
+
+def _layer_norm(x, scale, bias, eps: float = 1e-5):
+    """fp32 LayerNorm matching flax nn.LayerNorm semantics."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+
+
+def prepare_serving_params(params: Dict[str, Any],
+                           compute_dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Cast matmul weights to the compute dtype ONCE (instead of per call).
+
+    LayerNorm params and the fp32 output head stay fp32 (the model's
+    mixed-precision policy: fp32 LN/softmax/head, bf16 matmuls).
+    """
+    def cast(path, x):
+        p = "/".join(str(getattr(k, "key", k)) for k in path)
+        if "norm" in p.lower() or "out_x_proj" in p:
+            return x
+        return x.astype(compute_dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+    return jax.tree_util.tree_map_with_path(cast, params)
+
+
+class DecodeEngine:
+    """Unrolled, kernel-fused decode_frame over a scan-layout param pytree.
+
+    Stateless: holds only static configuration; params are passed to every
+    call so they stay jit arguments (closing over 138M fp32 weights would
+    bake them into the program as constants).
+    """
+
+    def __init__(self, config: GenieConfig, attn_impl: str = "auto",
+                 compute_dtype=None):
+        self.config = config
+        self.dtype = (jnp.dtype(config.dtype) if compute_dtype is None
+                      else jnp.dtype(compute_dtype))
+        if attn_impl == "auto":
+            attn_impl = ("pallas" if jax.default_backend() == "tpu"
+                         else "xla")
+        assert attn_impl in ("pallas", "xla"), attn_impl
+        self.attn_impl = attn_impl
+        cfg = config
+        self.head_dim = cfg.d_model // cfg.num_heads
+        self.scale = (8.0 / self.head_dim if cfg.use_mup
+                      else self.head_dim ** -0.5)
+
+    # -- building blocks ----------------------------------------------------
+
+    def _dense(self, x, w, b=None):
+        y = jnp.dot(x.astype(self.dtype), w.astype(self.dtype))
+        if b is not None:
+            y = y + b.astype(self.dtype)
+        return y
+
+    def _embed(self, params, tokens_BS):
+        cfg = self.config
+        te = params["token_embed"]
+        is_mask = tokens_BS == cfg.mask_token_id
+        safe = jnp.where(is_mask, 0, tokens_BS)
+        fact = factorize_token_ids(safe, cfg.num_factored_vocabs,
+                                   cfg.factored_vocab_size)
+        x = None
+        for k in range(cfg.num_factored_vocabs):
+            tab = te[f"factored_embeds_{k}"]["embedding"].astype(self.dtype)
+            e = jnp.take(tab, fact[..., k], axis=0)
+            x = e if x is None else x + e
+        mask_embed = te["mask_token_embed"].astype(self.dtype)
+        return jnp.where(is_mask[..., None], mask_embed, x)
+
+    def _qkv(self, attn_p, x):
+        """x (..., C) -> q, k, v each (..., C) flat; qk-norm applied per head
+        if configured (fp32 shared LN, genie/attention.py:42-47)."""
+        cfg = self.config
+        qkv = self._dense(x, attn_p["qkv"]["kernel"],
+                          attn_p["qkv"].get("bias"))
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        if cfg.qk_norm:
+            H, D = cfg.num_heads, self.head_dim
+            ln = attn_p["norm"]
+
+            def qknorm(t):
+                th = t.reshape(t.shape[:-1] + (H, D))
+                tn = _layer_norm(th, ln["scale"], ln["bias"])
+                return tn.reshape(t.shape).astype(v.dtype)
+            q, k = qknorm(q), qknorm(k)
+        return q, k, v
+
+    def _spatial_attn(self, p, x_BSC):
+        q, k, v = self._qkv(p, x_BSC)
+        H, D = self.config.num_heads, self.head_dim
+        B, S, C = x_BSC.shape
+
+        def heads(t):
+            return t.reshape(B, S, H, D)
+        out = mha_reference(heads(q), heads(k), heads(v), scale=self.scale,
+                            causal=False)
+        return self._dense(out.reshape(B, S, C), p["proj"]["kernel"],
+                           p["proj"].get("bias"))
+
+    def _temporal_attn(self, p, x_BSC, k_cache, v_cache, layer: int, t_B):
+        q, k_cur, v_cur = self._qkv(p, x_BSC)
+        if self.attn_impl == "pallas":
+            out = temporal_decode_attention(
+                q, k_cache, v_cache, k_cur, v_cur, t_B, layer=layer,
+                scale=self.scale, num_heads=self.config.num_heads)
+        else:
+            out = temporal_decode_attention_reference(
+                q, k_cache[layer], v_cache[layer], k_cur, v_cur, t_B,
+                scale=self.scale, num_heads=self.config.num_heads)
+        out = self._dense(out, p["proj"]["kernel"], p["proj"].get("bias"))
+        return out, k_cur, v_cur
+
+    def _mlp(self, p, x):
+        h = self._dense(x, p["fc1"]["kernel"], p["fc1"].get("bias"))
+        h = jax.nn.gelu(h, approximate=False)
+        return self._dense(h, p["fc2"]["kernel"], p["fc2"].get("bias"))
+
+    def _layer(self, lp, layer: int, x, k_cache, v_cache, t_B):
+        """One STBlock decode step (parity: STBlock.decode_step)."""
+        cfg = self.config
+
+        def n1(t):
+            if cfg.qk_norm:  # norm1/2 are Identity (st_transformer.py:44,67)
+                return t
+            return _layer_norm(t, lp["norm1"]["scale"], lp["norm1"]["bias"])
+
+        def n2(t):
+            if cfg.qk_norm:
+                return t
+            return _layer_norm(t, lp["norm2"]["scale"], lp["norm2"]["bias"])
+
+        x = x + self._spatial_attn(lp["spatial_attn"],
+                                   n1(x).astype(self.dtype))
+        t_out, k_cur, v_cur = self._temporal_attn(
+            lp["temporal_attn"], x, k_cache, v_cache, layer, t_B)
+        x = x + t_out  # NOTE: no pre-norm on temporal (st_transformer.py:78)
+        x = x + self._mlp(lp["mlp"], n2(x).astype(self.dtype))
+        return x, k_cur, v_cur
+
+    # -- public API ----------------------------------------------------------
+
+    def decode_frame(self, params, frame_tokens_BS, t_B, cache,
+                     action_B: Optional[jnp.ndarray] = None
+                     ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Contract-identical to STMaskGIT.decode_frame.
+
+        Args:
+            params: scan-layout pytree, ideally via `prepare_serving_params`.
+        Returns (logits (B, S, V, F) float32, kv_cur each (L, B, S, 1, C)).
+        """
+        cfg = self.config
+        p = params
+        if "layers" not in p.get("decoder", {}):
+            raise ValueError("DecodeEngine requires scan-layout params "
+                             "(config.scan_layers=True, the default)")
+        B, S = frame_tokens_BS.shape
+        t_B = jnp.broadcast_to(jnp.asarray(t_B, jnp.int32), (B,))
+        x = self._embed(p, frame_tokens_BS)
+        pos = jnp.take(p["pos_embed_TSC"][0], t_B, axis=0)  # (B, S, C)
+        x = x + pos.astype(self.dtype)
+        if cfg.action_vocab_size > 0 and action_B is not None:
+            act = jnp.take(p["action_embed"]["embedding"], action_B, axis=0)
+            x = x + act[:, None, :].astype(self.dtype)
+
+        lp = p["decoder"]["layers"]
+        k_cache, v_cache = cache["k"], cache["v"]
+        k_curs, v_curs = [], []
+        for layer in range(cfg.num_layers):
+            layer_p = jax.tree_util.tree_map(lambda a: a[layer], lp)
+            x, k_cur, v_cur = self._layer(layer_p, layer, x, k_cache,
+                                          v_cache, t_B)
+            k_curs.append(k_cur)
+            v_curs.append(v_cur)
+
+        if cfg.use_mup:
+            x = x / cfg.width_mult
+        head = p["out_x_proj"]
+        logits = jnp.dot(x.astype(jnp.float32),
+                         head["kernel"].astype(jnp.float32)) + head["bias"]
+        logits = logits.reshape(B, S, cfg.num_factored_vocabs,
+                                cfg.factored_vocab_size).swapaxes(-1, -2)
+        k_cur = jnp.stack(k_curs)[:, :, :, None, :]  # (L, B, S, 1, C)
+        v_cur = jnp.stack(v_curs)[:, :, :, None, :]
+        return logits, (k_cur, v_cur)
+
+    def __call__(self, params, frame_tokens_BS, t_B, cache, action_B=None):
+        return self.decode_frame(params, frame_tokens_BS, t_B, cache,
+                                 action_B)
