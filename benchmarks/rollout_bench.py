@@ -28,8 +28,9 @@ def main():
     args = p.parse_args()
 
     from tpu1x.model_zoo import MODEL_ZOO
-    from tpu1x.models.sampler import generate_cached
     from tpu1x.models.st_maskgit import STMaskGIT
+    from tpu1x.parallel.mesh import make_mesh
+    from tpu1x.rollout.engine import RolloutEngine
 
     config = MODEL_ZOO[args.model]()
     model = STMaskGIT(config)
@@ -39,27 +40,24 @@ def main():
     dummy = jnp.zeros((1, config.T * config.S), dtype=jnp.int32)
     params = model.init(jax.random.PRNGKey(0), dummy, dummy)["params"]
     prompt = jax.random.randint(
-        jax.random.PRNGKey(1), (args.batch, num_prompt * config.S), 0,
+        jax.random.PRNGKey(1),
+        (args.batch, num_prompt, config.latent_side_len,
+         config.latent_side_len), 0,
         config.image_vocab_size, dtype=jnp.int32)
 
-    @jax.jit
-    def gen(params, prompt, rng):
-        def prefill_fn(t):
-            return model.apply({"params": params}, t, method=STMaskGIT.prefill)
+    mesh = make_mesh() if jax.device_count() > 1 else None
+    engine = RolloutEngine(model, params, config, mesh=mesh,
+                           maskgit_steps=args.maskgit_steps)
 
-        def decode_fn(f, t, c):
-            return model.apply({"params": params}, f, t, c,
-                               method=STMaskGIT.decode_frame)
-
-        out, _ = generate_cached(prefill_fn, decode_fn, prompt, num_new, rng,
-                                 config, maskgit_steps=args.maskgit_steps)
+    def gen(rng):
+        out = engine.rollout(prompt, num_new, rng)
         return jnp.sum(out)  # scalar fetch
 
-    chk = gen(params, prompt, jax.random.PRNGKey(2))
+    chk = gen(jax.random.PRNGKey(2))
     jax.device_get(chk)
     t0 = time.perf_counter()
     for i in range(args.iters):
-        chk = gen(params, prompt, jax.random.PRNGKey(3 + i))
+        chk = gen(jax.random.PRNGKey(3 + i))
     jax.device_get(chk)
     dt = (time.perf_counter() - t0) / args.iters
 

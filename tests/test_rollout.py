@@ -85,6 +85,38 @@ class TestRolloutEngine:
         np.testing.assert_array_equal(
             np.asarray(scores)[order], np.sort(np.asarray(scores)))
 
+    def test_cached_matches_full_decode(self, setup):
+        """The KV-cached engine path is token-exact vs the uncached oracle."""
+        cfg, model, params = setup
+        prompt = jax.random.randint(jax.random.PRNGKey(7), (2, 1, 4, 4), 0,
+                                    cfg.image_vocab_size, dtype=jnp.int32)
+        outs = {}
+        for decode in ("cached", "full"):
+            engine = RolloutEngine(model, params, cfg, temperature=1.0,
+                                   decode=decode)
+            outs[decode] = np.asarray(engine.rollout(
+                prompt, cfg.T - 1, jax.random.PRNGKey(9), num_futures=2))
+        np.testing.assert_array_equal(outs["cached"], outs["full"])
+
+    def test_cached_matches_full_decode_with_actions(self, setup):
+        cfg, model, params = setup
+        prompt = jax.random.randint(jax.random.PRNGKey(7), (2, 1, 4, 4), 0,
+                                    cfg.image_vocab_size, dtype=jnp.int32)
+        actions = jax.random.randint(jax.random.PRNGKey(8), (2, cfg.T), 0,
+                                     cfg.action_vocab_size, dtype=jnp.int32)
+        outs = {}
+        for decode in ("cached", "full"):
+            engine = RolloutEngine(model, params, cfg, temperature=0.0,
+                                   decode=decode)
+            outs[decode] = np.asarray(engine.rollout(
+                prompt, cfg.T - 1, jax.random.PRNGKey(9), actions=actions))
+        np.testing.assert_array_equal(outs["cached"], outs["full"])
+        # and actions actually steer the cached rollout
+        other = np.asarray(RolloutEngine(model, params, cfg).rollout(
+            prompt, cfg.T - 1, jax.random.PRNGKey(9),
+            actions=(actions + 1) % cfg.action_vocab_size))
+        assert not np.array_equal(outs["cached"], other)
+
     def test_rollout_sharded_over_mesh(self, setup):
         cfg, model, params = setup
         mesh = make_mesh(dp=4, tp=2)

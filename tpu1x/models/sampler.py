@@ -103,15 +103,18 @@ def maskgit_generate_cached(
     temperature: float = 0.0,
     unmask_mode: str = "random",
     batch_size: int = None,
+    action_B=None,
 ):
     """KV-cached `maskgit_generate`: decodes frame `out_t` touching only that
     frame's S tokens per step (vs the reference's full (T, S) forward,
     st_mask_git.py:163-169 — identical math via temporal causality).
 
     Args:
-        decode_fn: (frame_tokens_BS, t_B, cache) -> (logits_BSVF, kv_cur)
-            (STMaskGIT.decode_frame bound to params).
+        decode_fn: (frame_tokens_BS, t_B, cache[, action_B]) ->
+            (logits_BSVF, kv_cur) (STMaskGIT.decode_frame bound to params).
         cache: {"k","v"} from STMaskGIT.prefill over committed frames < out_t.
+        action_B: optional (B,) int32 action id for frame out_t (forwarded to
+            decode_fn — the additive action embedding, README.md:49).
 
     Returns: (sample_BS, orig_logits (B, V, F, H, W), kv_cur of the *last
     sampling pass* — callers committing the frame should re-decode the final
@@ -129,6 +132,8 @@ def maskgit_generate_cached(
     unmasked = jnp.zeros((B, S), dtype=bool)
     orig_logits = None
     kv_cur = None
+    if action_B is not None:
+        decode_fn = partial(decode_fn, action_B=action_B)
     for step in range(maskgit_steps):
         logits, kv_cur = decode_fn(frame, out_t, cache)
         if step == 0:
@@ -154,12 +159,18 @@ def generate_cached(
     maskgit_steps: int = 2,
     temperature: float = 0.0,
     unmask_mode: str = "random",
+    actions_BT=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """KV-cached autoregressive rollout; same contract as `generate`.
 
     Per generated frame: `maskgit_steps` single-frame decodes + one commit
     decode of the finalized tokens (whose K/V enter the cache) — ~
     (steps+1)/T of the uncached FLOPs.
+
+    Args:
+        actions_BT: optional (B, T) int32 action ids; frames <P condition the
+            prefill (prefill_fn must accept them), frame t's decode steps get
+            action_B = actions_BT[:, t].
     """
     from tpu1x.models.st_maskgit import update_cache
 
@@ -171,16 +182,25 @@ def generate_cached(
     assert T == config.T, (T, config.T)
 
     prompt_BPHW = input_ids_BN.reshape(B, num_prompt_frames, h, w).astype(jnp.int32)
-    cache = prefill_fn(prompt_BPHW)
+    if actions_BT is None:
+        cache = prefill_fn(prompt_BPHW)
+    else:
+        cache = prefill_fn(prompt_BPHW, actions_BT[:, :num_prompt_frames])
 
     def frame_step(carry, t):
         cache, rng = carry
         rng, sub = jax.random.split(rng)
+        action_B = (None if actions_BT is None
+                    else jnp.take_along_axis(actions_BT, t[None, None],
+                                             axis=1)[:, 0])
         frame, flogits, _ = maskgit_generate_cached(
             decode_fn, cache, t, sub, config, maskgit_steps=maskgit_steps,
-            temperature=temperature, unmask_mode=unmask_mode, batch_size=B)
+            temperature=temperature, unmask_mode=unmask_mode, batch_size=B,
+            action_B=action_B)
         # commit: recompute K/V from the finalized tokens
-        _, kv_cur = decode_fn(frame, jnp.broadcast_to(t, (B,)), cache)
+        commit_fn = (decode_fn if action_B is None
+                     else partial(decode_fn, action_B=action_B))
+        _, kv_cur = commit_fn(frame, jnp.broadcast_to(t, (B,)), cache)
         cache = update_cache(cache, kv_cur, t)
         return (cache, rng), (frame, flogits)
 

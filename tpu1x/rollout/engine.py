@@ -26,20 +26,39 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu1x.config import GenieConfig
-from tpu1x.models.sampler import generate
+from tpu1x.models.sampler import generate, generate_cached
 from tpu1x.models.st_maskgit import STMaskGIT, compute_loss_and_acc
 from tpu1x.parallel.mesh import rollout_sharding
 
 
 class RolloutEngine:
+    """Batched world-model rollouts + policy ranking.
+
+    decode: "cached" (default) rolls out with the KV-cached per-frame decode
+    (token-exact vs the uncached sampler, tests/test_kv_cache.py) — on TPU it
+    automatically uses the serving DecodeEngine (unrolled layers + fused
+    Pallas decode attention, tpu1x/serving.py). "full" is the uncached
+    whole-sequence forward per MaskGIT step (the reference's strategy,
+    st_mask_git.py:163-169), kept as the parity oracle.
+    """
+
     def __init__(self, model: STMaskGIT, params: Any, config: GenieConfig,
-                 mesh=None, maskgit_steps: int = 2, temperature: float = 0.0):
+                 mesh=None, maskgit_steps: int = 2, temperature: float = 0.0,
+                 decode: str = "cached"):
+        assert decode in ("cached", "full"), decode
         self.model = model
         self.params = params
         self.config = config
         self.mesh = mesh
         self.maskgit_steps = maskgit_steps
         self.temperature = temperature
+        self.decode = decode
+        self._serving = None
+        if (decode == "cached" and jax.default_backend() == "tpu"
+                and config.scan_layers):
+            from tpu1x.serving import DecodeEngine, prepare_serving_params
+            self._serving = DecodeEngine(config)
+            self.params = prepare_serving_params(params)
         self._rollout_jit = {}
         self._score_jit = None
 
@@ -74,12 +93,32 @@ class RolloutEngine:
 
         key = (num_new_frames, actions is not None)
         if key not in self._rollout_jit:
-            def run(params, tokens_flat, actions, rng):
-                return generate(
-                    self._logits_fn(params, actions), tokens_flat,
-                    num_new_frames, rng, cfg,
-                    maskgit_steps=self.maskgit_steps,
-                    temperature=self.temperature)[0]
+            if self.decode == "full":
+                def run(params, tokens_flat, actions, rng):
+                    return generate(
+                        self._logits_fn(params, actions), tokens_flat,
+                        num_new_frames, rng, cfg,
+                        maskgit_steps=self.maskgit_steps,
+                        temperature=self.temperature)[0]
+            else:
+                def run(params, tokens_flat, actions, rng):
+                    def prefill_fn(t, a=None):
+                        return self.model.apply({"params": params}, t, a,
+                                                method=STMaskGIT.prefill)
+
+                    if self._serving is not None:
+                        decode_fn = functools.partial(
+                            self._serving.decode_frame, params)
+                    else:
+                        def decode_fn(f, t, c, action_B=None):
+                            return self.model.apply(
+                                {"params": params}, f, t, c, action_B,
+                                method=STMaskGIT.decode_frame)
+
+                    return generate_cached(
+                        prefill_fn, decode_fn, tokens_flat, num_new_frames,
+                        rng, cfg, maskgit_steps=self.maskgit_steps,
+                        temperature=self.temperature, actions_BT=actions)[0]
             self._rollout_jit[key] = jax.jit(run)
         out = self._rollout_jit[key](self.params, flat, actions, rng)
         return out.reshape(B, K, Tp + num_new_frames, H, W)
