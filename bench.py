@@ -63,10 +63,7 @@ def main():
     # weights into the program as constants and explode compile time.
     @jax.jit
     def gen(sparams, prompt, rng):
-        def prefill_fn(tokens_BPHW):
-            return model.apply({"params": sparams}, tokens_BPHW,
-                               method=STMaskGIT.prefill)
-
+        prefill_fn = functools.partial(engine.prefill, sparams)
         decode_fn = functools.partial(engine.decode_frame, sparams)
         return generate_cached(prefill_fn, decode_fn, prompt, num_new, rng,
                                config, maskgit_steps=maskgit_steps)

@@ -23,7 +23,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def capture(batch: int, maskgit_steps: int, logdir: str):
+def capture(batch: int, maskgit_steps: int, logdir: str,
+            serving: bool = False):
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -43,14 +46,24 @@ def capture(batch: int, maskgit_steps: int, logdir: str):
         jax.random.PRNGKey(1), (batch, num_prompt * config.S), 0,
         config.image_vocab_size, dtype=jnp.int32)
 
+    if serving:  # the exact bench.py path
+        from tpu1x.serving import DecodeEngine, prepare_serving_params
+        params = prepare_serving_params(params)
+        engine = DecodeEngine(config)
+
     @jax.jit
     def gen(params, prompt, rng):
-        def prefill_fn(t):
-            return model.apply({"params": params}, t, method=STMaskGIT.prefill)
+        if serving:
+            prefill_fn = functools.partial(engine.prefill, params)
+            decode_fn = functools.partial(engine.decode_frame, params)
+        else:
+            def prefill_fn(t):
+                return model.apply({"params": params}, t,
+                                   method=STMaskGIT.prefill)
 
-        def decode_fn(f, t, c):
-            return model.apply({"params": params}, f, t, c,
-                               method=STMaskGIT.decode_frame)
+            def decode_fn(f, t, c):
+                return model.apply({"params": params}, f, t, c,
+                                   method=STMaskGIT.decode_frame)
 
         return generate_cached(prefill_fn, decode_fn, prompt, num_new, rng,
                                config, maskgit_steps=maskgit_steps)
@@ -108,6 +121,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--steps", type=int, default=2)
+    ap.add_argument("--serving", action="store_true",
+                    help="profile the serving DecodeEngine path (bench.py)")
     ap.add_argument("--logdir", type=str, default=None)
     ap.add_argument("--analyze_only", type=str, default=None)
     args = ap.parse_args()
@@ -115,6 +130,6 @@ if __name__ == "__main__":
         analyze(args.analyze_only)
     else:
         logdir = args.logdir or tempfile.mkdtemp(prefix="tpu1x_prof_")
-        capture(args.batch, args.steps, logdir)
+        capture(args.batch, args.steps, logdir, serving=args.serving)
         print(f"trace in {logdir}")
         analyze(logdir)

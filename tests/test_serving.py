@@ -85,6 +85,40 @@ def test_engine_action_conditioning():
     assert not np.allclose(np.asarray(logits), np.asarray(logits0))
 
 
+@pytest.mark.parametrize("qk_norm,use_mup,actions",
+                         [(False, False, False), (True, True, False),
+                          (False, False, True)])
+def test_engine_prefill_matches_flax(qk_norm, use_mup, actions):
+    cfg, model, params = setup_model(qk_norm=qk_norm, use_mup=use_mup,
+                                     action_vocab_size=7 if actions else 0)
+    B = 3
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (B, 2, 4, 4), 0,
+                                cfg.image_vocab_size, dtype=jnp.int32)
+    acts = (jax.random.randint(jax.random.PRNGKey(4), (B, 2), 0, 7,
+                               dtype=jnp.int32) if actions else None)
+    ref = model.apply({"params": params}, prompt, acts,
+                      method=STMaskGIT.prefill)
+    engine = DecodeEngine(cfg, attn_impl="xla")
+    sparams = prepare_serving_params(params)
+    got = engine.prefill(sparams, prompt, acts)
+    for key in ("k", "v"):
+        assert got[key].shape == ref[key].shape
+        np.testing.assert_allclose(np.asarray(got[key], np.float32),
+                                   np.asarray(ref[key], np.float32),
+                                   atol=2e-2, rtol=2e-2)
+    # padded slots stay zero
+    assert not np.asarray(got["k"])[:, :, :, 2:].any()
+
+    # decode against the engine-built cache == decode against the flax cache
+    frame = jnp.full((B, cfg.S), cfg.mask_token_id, jnp.int32)
+    t_B = jnp.full((B,), 2, jnp.int32)
+    a_B = acts[:, 0] if actions else None
+    l_ref, _ = engine.decode_frame(sparams, frame, t_B, ref, a_B)
+    l_got, _ = engine.decode_frame(sparams, frame, t_B, got, a_B)
+    np.testing.assert_allclose(np.asarray(l_got), np.asarray(l_ref),
+                               atol=2e-2, rtol=2e-2)
+
+
 def test_engine_full_rollout_matches_flax():
     """generate_cached driven by the engine == driven by the flax model."""
     cfg, model, params = setup_model()

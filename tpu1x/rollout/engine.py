@@ -102,14 +102,16 @@ class RolloutEngine:
                         temperature=self.temperature)[0]
             else:
                 def run(params, tokens_flat, actions, rng):
-                    def prefill_fn(t, a=None):
-                        return self.model.apply({"params": params}, t, a,
-                                                method=STMaskGIT.prefill)
-
                     if self._serving is not None:
+                        prefill_fn = functools.partial(
+                            self._serving.prefill, params)
                         decode_fn = functools.partial(
                             self._serving.decode_frame, params)
                     else:
+                        def prefill_fn(t, a=None):
+                            return self.model.apply({"params": params}, t, a,
+                                                    method=STMaskGIT.prefill)
+
                         def decode_fn(f, t, c, action_B=None):
                             return self.model.apply(
                                 {"params": params}, f, t, c, action_B,

@@ -164,29 +164,121 @@ class DecodeEngine:
         h = jax.nn.gelu(h, approximate=False)
         return self._dense(h, p["fc2"]["kernel"], p["fc2"].get("bias"))
 
+    def _pre_norm(self, ln_p, x):
+        """Pre-LN in the compute dtype (fused Pallas kernel on TPU; fp32
+        statistics either way — tpu1x/ops/layernorm.py)."""
+        from tpu1x.ops.layernorm import layer_norm
+        return layer_norm(x, ln_p["scale"], ln_p["bias"],
+                          out_dtype=self.dtype)
+
     def _layer(self, lp, layer: int, x, k_cache, v_cache, t_B):
         """One STBlock decode step (parity: STBlock.decode_step)."""
         cfg = self.config
 
         def n1(t):
             if cfg.qk_norm:  # norm1/2 are Identity (st_transformer.py:44,67)
-                return t
-            return _layer_norm(t, lp["norm1"]["scale"], lp["norm1"]["bias"])
+                return t.astype(self.dtype)
+            return self._pre_norm(lp["norm1"], t)
 
         def n2(t):
             if cfg.qk_norm:
-                return t
-            return _layer_norm(t, lp["norm2"]["scale"], lp["norm2"]["bias"])
+                return t.astype(self.dtype)
+            return self._pre_norm(lp["norm2"], t)
 
-        x = x + self._spatial_attn(lp["spatial_attn"],
-                                   n1(x).astype(self.dtype))
+        x = x + self._spatial_attn(lp["spatial_attn"], n1(x))
         t_out, k_cur, v_cur = self._temporal_attn(
             lp["temporal_attn"], x, k_cache, v_cache, layer, t_B)
         x = x + t_out  # NOTE: no pre-norm on temporal (st_transformer.py:78)
-        x = x + self._mlp(lp["mlp"], n2(x).astype(self.dtype))
+        x = x + self._mlp(lp["mlp"], n2(x))
         return x, k_cur, v_cur
 
+    def _mha(self, q, k, v, causal: bool, impl: Optional[str] = None):
+        """(..., N, C) heads-flat in/out; pallas flash kernel on TPU."""
+        from tpu1x.ops.attention import mha
+        H, D = self.config.num_heads, self.head_dim
+
+        def heads(t):
+            return t.reshape(t.shape[:-1] + (H, D))
+        out = mha(heads(q), heads(k), heads(v), scale=self.scale,
+                  causal=causal, impl=impl or self.attn_impl)
+        return out.reshape(q.shape)
+
     # -- public API ----------------------------------------------------------
+
+    def prefill(self, params, tokens_BPHW, actions_BP=None):
+        """Contract-identical to STMaskGIT.prefill (same cache layout), but
+        as an unrolled bf16 loop: the flax nn.scan prefill materializes
+        per-layer KV slices + fp32 copies (measured ~30% of rollout wall,
+        benchmarks/profile_gen.py) that this path never creates.
+
+        Returns cache {"k","v"}: (L, B, S, T, C), slots >= P zero-padded.
+        """
+        cfg = self.config
+        p = params
+        if "layers" not in p.get("decoder", {}):
+            raise ValueError("DecodeEngine requires scan-layout params")
+        B, P, H, W = tokens_BPHW.shape
+        S = H * W
+        x = self._embed(p, tokens_BPHW.reshape(B, P, S))
+        x = x + p["pos_embed_TSC"][:, :P].astype(self.dtype)
+        if cfg.action_vocab_size > 0 and actions_BP is not None:
+            act = jnp.take(p["action_embed"]["embedding"], actions_BP, axis=0)
+            x = x + act[:, :, None, :].astype(self.dtype)
+
+        lp = p["decoder"]["layers"]
+        ks, vs = [], []
+        for layer in range(cfg.num_layers):
+            layer_p = jax.tree_util.tree_map(lambda a: a[layer], lp)
+            x, k, v = self._prefill_layer(layer_p, x)
+            ks.append(k)
+            vs.append(v)
+        k = jnp.stack(ks)  # (L, B, S, P, C)
+        v = jnp.stack(vs)
+        pad = cfg.T - P
+        if pad > 0:
+            widths = [(0, 0), (0, 0), (0, 0), (0, pad), (0, 0)]
+            k = jnp.pad(k, widths)
+            v = jnp.pad(v, widths)
+        return {"k": k, "v": v}
+
+    def _prefill_layer(self, lp, x_BPSC):
+        """One STBlock forward collecting temporal K/V (parity:
+        STBlock.prefill, tpu1x/models/st_transformer.py)."""
+        cfg = self.config
+        B, P, S, C = x_BPSC.shape
+
+        def n1(t):
+            if cfg.qk_norm:
+                return t.astype(self.dtype)
+            return self._pre_norm(lp["norm1"], t)
+
+        def n2(t):
+            if cfg.qk_norm:
+                return t.astype(self.dtype)
+            return self._pre_norm(lp["norm2"], t)
+
+        # spatial (bidirectional over S, (B, P) batch-like)
+        h = n1(x_BPSC)
+        q, k, v = self._qkv(lp["spatial_attn"], h.reshape(B * P, S, C))
+        out = self._mha(q, k, v, causal=False)
+        out = self._dense(out, lp["spatial_attn"]["proj"]["kernel"],
+                          lp["spatial_attn"]["proj"].get("bias"))
+        x = x_BPSC + out.reshape(B, P, S, C)
+
+        # temporal (causal over P, no pre-norm — st_transformer.py:78).
+        # XLA impl: the P axis is tiny (<=16), far below flash-kernel tiles.
+        x_BSPC = jnp.swapaxes(x, 1, 2)
+        q, k, v = self._qkv(lp["temporal_attn"],
+                            x_BSPC.reshape(B * S, P, C))
+        out = self._mha(q, k, v, causal=True, impl="xla")
+        out = self._dense(out, lp["temporal_attn"]["proj"]["kernel"],
+                          lp["temporal_attn"]["proj"].get("bias"))
+        x_BSPC = x_BSPC + out.reshape(B, S, P, C)
+        kv = (k.reshape(B, S, P, C), v.reshape(B, S, P, C))
+
+        # MLP in the (B, S, P, C) layout (same math as the flax block)
+        x_BSPC = x_BSPC + self._mlp(lp["mlp"], n2(x_BSPC))
+        return jnp.swapaxes(x_BSPC, 1, 2), kv[0], kv[1]
 
     def decode_frame(self, params, frame_tokens_BS, t_B, cache,
                      action_B: Optional[jnp.ndarray] = None
