@@ -10,6 +10,7 @@
 
 from __future__ import annotations
 
+from functools import partial
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
@@ -105,6 +106,40 @@ def convert_magvit2_state_dict(state_dict, config: VQConfig) -> Any:
 
     params = {"encoder": enc, "decoder": dec}
     return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def convert_discriminator_state_dict(state_dict, n_layers: int = 3
+                                     ) -> Tuple[Any, Any]:
+    """Reference NLayerDiscriminator (nn.Sequential `main.{idx}` naming,
+    magvit2/modules/discriminator/model.py:17-67) -> (params, batch_stats)
+    for our flax NLayerDiscriminator.
+
+    Sequential layout for n_layers=N: idx 0 = first conv, then N (conv, norm,
+    lrelu) triples starting at idx 2 with stride 2 (last one stride 1), then
+    the 1-channel output conv. BatchNorm running stats map to flax
+    batch_stats.
+    """
+    def to_np(v):
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return np.asarray(v, dtype=np.float32)
+
+    sd = {k: to_np(v) for k, v in state_dict.items()}
+    sd = {k[len("discriminator."):] if k.startswith("discriminator.") else k: v
+          for k, v in sd.items()}
+
+    params: Dict[str, Any] = {"conv_0": _conv(sd, "main.0")}
+    stats: Dict[str, Any] = {}
+    for n in range(1, n_layers + 1):
+        idx = 3 * n - 1  # conv at 2, 5, 8, ...
+        params[f"conv_{n}"] = _conv(sd, f"main.{idx}")
+        params[f"bn_{n}"] = {"scale": sd[f"main.{idx + 1}.weight"],
+                             "bias": sd[f"main.{idx + 1}.bias"]}
+        stats[f"bn_{n}"] = {"mean": sd[f"main.{idx + 1}.running_mean"],
+                            "var": sd[f"main.{idx + 1}.running_var"]}
+    params["conv_out"] = _conv(sd, f"main.{3 * n_layers + 2}")
+    as_jnp = partial(jax.tree_util.tree_map, jnp.asarray)
+    return as_jnp(params), as_jnp(stats)
 
 
 def load_magvit2_checkpoint(path, config: VQConfig, use_ema: bool = True) -> Any:

@@ -100,6 +100,10 @@ def _codebook_entropy_chunked(z_flat, temperature: float, num_bits: int,
     """
     N, D = z_flat.shape
     num_codes = 1 << num_bits
+    # A chunk larger than the codebook would generate out-of-range ids whose
+    # high bits are silently dropped by indices_to_bits, multiply-counting
+    # every code (caught by test_golden_tokenizer vs the reference at 2^6).
+    chunk = min(chunk, num_codes)
     # per-bit log-probs: logp1[k] = log sigmoid(4 z_k / T)
     a = 2.0 * z_flat.astype(jnp.float32) / temperature
     logp1 = jax.nn.log_sigmoid(2 * a)   # bit = 1

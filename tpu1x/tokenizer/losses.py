@@ -41,15 +41,26 @@ def vanilla_d_loss(logits_real, logits_fake):
 
 
 def non_saturate_discriminator_loss(logits_real, logits_fake):
-    """BCE-style D loss (ref: vqperceptual.py:52-66)."""
-    real_loss = jax.nn.softplus(-logits_real)  # -log sigmoid(real)
-    fake_loss = jax.nn.softplus(logits_fake)   # -log(1 - sigmoid(fake))
+    """BCE-style D loss on per-sample patch-mean logits (ref: 63-79).
+
+    The reference reduces the (B, 1, H, W) patch map to a per-sample mean
+    logit BEFORE the sigmoid cross-entropy; we preserve that structure.
+    Known reference bug not reproduced: vqperceptual.py:65 assigns
+    `logits_real = logits_fake.reshape(...)`, silently scoring the real term
+    on fake logits. We use the real logits as intended (the shipped config
+    uses "hinge", so the buggy branch never runs in practice).
+    """
+    real_mean = logits_real.reshape(logits_real.shape[0], -1).mean(axis=-1)
+    fake_mean = logits_fake.reshape(logits_fake.shape[0], -1).mean(axis=-1)
+    real_loss = jax.nn.softplus(-real_mean)  # -log sigmoid(real)
+    fake_loss = jax.nn.softplus(fake_mean)   # -log(1 - sigmoid(fake))
     return jnp.mean(real_loss) + jnp.mean(fake_loss)
 
 
 def non_saturate_gen_loss(logits_fake):
-    """-log sigmoid(fake) (ref: vqperceptual.py:44-49)."""
-    return jnp.mean(jax.nn.softplus(-logits_fake))
+    """-log sigmoid(per-sample patch-mean fake logit) (ref: 50-60)."""
+    fake_mean = logits_fake.reshape(logits_fake.shape[0], -1).mean(axis=-1)
+    return jnp.mean(jax.nn.softplus(-fake_mean))
 
 
 def nn_relu(x):
