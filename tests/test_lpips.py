@@ -1,0 +1,148 @@
+"""LPIPS: converter coverage (torch state dicts -> flax pytree), end-to-end
+wiring through `make_lpips_fn`, and the metric math vs an independent numpy
+implementation of the reference formulas (magvit2/modules/losses/lpips.py:
+normalize_tensor, NetLinLayer, spatial_average)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tpu1x.eval.metrics import make_lpips_fn
+from tpu1x.tokenizer.lpips import (_SCALE, _SHIFT, LPIPS,
+                                   load_lpips_alex_params, load_lpips_params)
+
+# (out_ch, in_ch, k) per conv, and the indices used by the lpips package's
+# slice naming (torchvision AlexNet features indices)
+_ALEX_CONVS = [(64, 3, 11, 0), (192, 64, 5, 3), (384, 192, 3, 6),
+               (256, 384, 3, 8), (256, 256, 3, 10)]
+_ALEX_CH = [64, 192, 384, 256, 256]
+
+_VGG_CH = [64, 128, 256, 512, 512]
+_VGG_CONV_IDX = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+_VGG_PLAN = [(64, 3), (64, 64), (128, 64), (128, 128), (256, 128), (256, 256),
+             (256, 256), (512, 256), (512, 512), (512, 512), (512, 512),
+             (512, 512), (512, 512)]
+
+
+def synth_alex_state_dict(seed=0):
+    g = torch.Generator().manual_seed(seed)
+    sd = {}
+    for slice_i, (o, i, k, idx) in enumerate(_ALEX_CONVS, start=1):
+        sd[f"net.slice{slice_i}.{idx}.weight"] = torch.randn(
+            (o, i, k, k), generator=g) * 0.05
+        sd[f"net.slice{slice_i}.{idx}.bias"] = torch.randn((o,), generator=g) * 0.05
+    for i, c in enumerate(_ALEX_CH):
+        sd[f"lin{i}.model.1.weight"] = torch.rand((1, c, 1, 1), generator=g)
+    return sd
+
+
+def synth_vgg_state_dict(seed=0):
+    g = torch.Generator().manual_seed(seed)
+    sd = {}
+    # lpips-package layout: net.sliceN.M.weight with global torchvision M
+    slices = [2, 4, 7, 10, 13]  # convs per slice boundary (cumulative)
+    bounds = np.cumsum([0] + [2, 2, 3, 3, 3])
+    for si in range(5):
+        for ci in range(bounds[si], bounds[si + 1]):
+            o, i = _VGG_PLAN[ci]
+            idx = _VGG_CONV_IDX[ci]
+            sd[f"net.slice{si + 1}.{idx}.weight"] = torch.randn(
+                (o, i, 3, 3), generator=g) * 0.05
+            sd[f"net.slice{si + 1}.{idx}.bias"] = torch.randn(
+                (o,), generator=g) * 0.05
+    for i, c in enumerate(_VGG_CH):
+        sd[f"lin{i}.model.1.weight"] = torch.rand((1, c, 1, 1), generator=g)
+    return sd
+
+
+def test_alex_converter_shapes():
+    params = load_lpips_alex_params(synth_alex_state_dict())
+    for i, (o, inp, k, _) in enumerate(_ALEX_CONVS, start=1):
+        kern = params["alex"][f"conv{i}"]["kernel"]
+        assert kern.shape == (k, k, inp, o), (i, kern.shape)
+    for i, c in enumerate(_ALEX_CH):
+        assert params[f"lin_{i}"].shape == (c,)
+
+
+def test_vgg_converter_shapes():
+    params = load_lpips_params(synth_vgg_state_dict())
+    names = [f"conv{s + 1}_{c + 1}" for s, n in
+             enumerate([2, 2, 3, 3, 3]) for c in range(n)]
+    for name, (o, i) in zip(names, _VGG_PLAN):
+        kern = params["vgg"][name]["kernel"]
+        assert kern.shape == (3, 3, i, o), (name, kern.shape)
+    for i, c in enumerate(_VGG_CH):
+        assert params[f"lin_{i}"].shape == (c,)
+
+
+def test_make_lpips_fn_end_to_end(tmp_path):
+    """CLI-shaped wiring: torch .pth on disk -> converted -> jitted metric."""
+    ckpt = tmp_path / "alex.pth"
+    torch.save(synth_alex_state_dict(), ckpt)
+    fn = make_lpips_fn(str(ckpt), net="alex", batch_size=4)
+
+    rng = np.random.RandomState(0)
+    a = rng.randint(0, 256, (2, 3, 64, 64, 3)).astype(np.uint8)
+    b = rng.randint(0, 256, (2, 3, 64, 64, 3)).astype(np.uint8)
+
+    same = fn(a, a)
+    assert same.shape == (6,)
+    np.testing.assert_allclose(same, 0.0, atol=1e-6)
+    diff = fn(a, b)
+    assert np.all(np.isfinite(diff)) and np.all(diff > 0)
+
+
+def test_make_lpips_fn_random_warns():
+    with pytest.warns(UserWarning, match="RANDOM"):
+        make_lpips_fn(None, net="alex")
+
+
+def test_lpips_math_vs_numpy_reference_formulas():
+    """One-tap check of scaling layer + channel-normalize + squared diff +
+    lin head + spatial average against the reference formulas implemented
+    independently in numpy (lpips.py:42-55, 79-96)."""
+    sd = synth_alex_state_dict(seed=1)
+    params = load_lpips_alex_params(sd)
+    model = LPIPS(net="alex")
+
+    rng = np.random.RandomState(1)
+    x = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    y = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    got = float(model.apply({"params": params}, jnp.asarray(x),
+                            jnp.asarray(y))[0])
+
+    # numpy re-implementation (tap 1 only needs conv1; later taps via torch
+    # conv for brevity would defeat independence, so compute all five taps
+    # with scipy-free explicit convs through jax.lax on the SAME params but
+    # assert the *structure*: single-tap contribution formula.
+    def scale_in(v):
+        return (v - _SHIFT) / _SCALE
+
+    xs, ys = scale_in(x), scale_in(y)
+    w = np.asarray(params["alex"]["conv1"]["kernel"])  # (11,11,3,64)
+    bias = np.asarray(params["alex"]["conv1"]["bias"])
+
+    def conv1(v):
+        out = jax.lax.conv_general_dilated(
+            jnp.asarray(v), jnp.asarray(w), window_strides=(4, 4),
+            padding=[(2, 2), (2, 2)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return np.maximum(np.asarray(out) + bias, 0.0)
+
+    fx, fy = conv1(xs), conv1(ys)
+    nx = fx / (np.linalg.norm(fx, axis=-1, keepdims=True) + 1e-10)
+    ny = fy / (np.linalg.norm(fy, axis=-1, keepdims=True) + 1e-10)
+    lin0 = np.abs(np.asarray(params["lin_0"]))
+    tap0 = float((((nx - ny) ** 2) * lin0).sum(-1).mean())
+
+    # recompute the model with only lin_0 nonzero -> must equal tap0
+    params_only0 = jax.tree_util.tree_map(lambda v: v, params)
+    for i in range(1, 5):
+        params_only0[f"lin_{i}"] = jnp.zeros_like(params_only0[f"lin_{i}"])
+    got0 = float(model.apply({"params": params_only0}, jnp.asarray(x),
+                             jnp.asarray(y))[0])
+    np.testing.assert_allclose(got0, tap0, rtol=1e-4)
+    assert got >= got0 > 0

@@ -245,25 +245,49 @@ def parse_args():
                    help="use the full-forward row-expansion path instead of "
                         "the KV-cached evaluator")
     p.add_argument("--tokenizer_ckpt", type=str, default=None,
-                   help="Optional MAGVIT2 tokenizer checkpoint for LPIPS.")
+                   help="Optional MAGVIT2 tokenizer checkpoint for frame "
+                        "decode (enables LPIPS).")
+    p.add_argument("--lpips_ckpt", type=str, default=None,
+                   help="LPIPS weights (lpips package .pth or msgpack); "
+                        "'random' runs with random weights (smoke only).")
     return p.parse_args()
+
+
+def load_model_checkpoint(checkpoint_dir):
+    """Load a tpu1x save_pretrained dir, falling back to a reference torch
+    checkpoint dir/file (model.safetensors / pytorch_model.bin + config.json,
+    the format `STMaskGIT.from_pretrained` reads — st_mask_git.py:306-313)."""
+    from pathlib import Path
+
+    from tpu1x.train.checkpoint import (load_pretrained,
+                                        load_torch_checkpoint)
+
+    path = Path(checkpoint_dir)
+    if (path / "params.msgpack").exists():
+        params, config = load_pretrained(path)
+        if isinstance(params, dict) and "params" in params:
+            params = params["params"]
+        return params, config
+    config = GenieConfig.from_pretrained(path / "config.json")
+    return load_torch_checkpoint(path, config), config
 
 
 def main():
     args = parse_args()
-    from tpu1x.train.checkpoint import load_pretrained
 
     dataset = RawTokenDataset(args.val_data_dir, window_size=args.window_size,
                               stride=args.stride, filter_overlaps=True)
-    params, config = load_pretrained(args.checkpoint_dir)
-    if isinstance(params, dict) and "params" in params:
-        params = params["params"]
+    params, config = load_model_checkpoint(args.checkpoint_dir)
     model = STMaskGIT(config)
 
     decode_latents = lpips_fn = None
     if args.tokenizer_ckpt:
+        from tpu1x.eval.metrics import make_lpips_fn
         from tpu1x.eval.visualize import decode_latents_wrapper
         decode_latents = decode_latents_wrapper(ckpt_path=args.tokenizer_ckpt)
+        if args.lpips_ckpt:
+            lpips_fn = make_lpips_fn(
+                None if args.lpips_ckpt == "random" else args.lpips_ckpt)
 
     evaluator = GenieEvaluator(model, params, config,
                                maskgit_steps=args.maskgit_steps,

@@ -50,13 +50,12 @@ def parse_args():
 
 def main():
     args = parse_args()
-    from tpu1x.train.checkpoint import load_pretrained
+    from tpu1x.eval.evaluate import load_model_checkpoint
 
     dataset = RawTokenDataset(args.val_data_dir, window_size=args.window_size,
                               stride=args.stride)
-    params, config = load_pretrained(args.checkpoint_dir)
-    if isinstance(params, dict) and "params" in params:
-        params = params["params"]
+    # tpu1x save_pretrained dir, or a reference torch checkpoint dir
+    params, config = load_model_checkpoint(args.checkpoint_dir)
     model = STMaskGIT(config)
 
     idx = np.arange(args.example_ind, args.example_ind + args.batch_size)

@@ -64,3 +64,66 @@ def token_accuracy(ground_truth_BTHW, samples_BTHW) -> float:
     (reference: evaluate.py:179)."""
     gt = jnp.asarray(ground_truth_BTHW)[:, 1:]
     return float((gt == jnp.asarray(samples_BTHW)).mean())
+
+
+def make_lpips_fn(lpips_ckpt=None, net: str = "alex", batch_size: int = 32):
+    """Build the frame-wise LPIPS metric (reference: eval_utils.py:80-88;
+    the evaluator uses the AlexNet trunk, evaluate.py:154).
+
+    Args:
+        lpips_ckpt: torch state dict file (`.pth`/`.pt`, the lpips package's
+            weights) or a flax msgpack; None runs with RANDOM weights —
+            numbers are meaningless, and a loud warning is emitted.
+        net: "alex" | "vgg".
+
+    Returns fn(frames_a, frames_b) -> np.ndarray of per-frame distances;
+    frames are uint8 NHWC, any leading batch/time dims.
+    """
+    import warnings
+
+    from tpu1x.tokenizer.lpips import (LPIPS, load_lpips_alex_params,
+                                       load_lpips_params)
+
+    model = LPIPS(net=net)
+    if lpips_ckpt is None:
+        warnings.warn(
+            "LPIPS running with RANDOMLY INITIALIZED weights — scores are "
+            "meaningless. Pass the lpips package's checkpoint (e.g. alex.pth) "
+            "for real numbers.", stacklevel=2)
+        dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), dummy, dummy)["params"]
+    else:
+        lpips_ckpt = str(lpips_ckpt)
+        if lpips_ckpt.endswith(".msgpack"):
+            import flax.serialization
+            with open(lpips_ckpt, "rb") as f:
+                params = flax.serialization.msgpack_restore(f.read())
+        else:
+            import torch
+            sd = torch.load(lpips_ckpt, map_location="cpu", weights_only=True)
+            convert = load_lpips_alex_params if net == "alex" else load_lpips_params
+            params = convert(sd)
+
+    @jax.jit
+    def dist(x, y):
+        return model.apply({"params": params}, x, y)
+
+    def fn(frames_a, frames_b) -> np.ndarray:
+        a = np.asarray(frames_a)
+        b = np.asarray(frames_b)
+        assert a.shape == b.shape and a.shape[-1] == 3, (a.shape, b.shape)
+        H, W = a.shape[-3:-1]
+        a = a.reshape(-1, H, W, 3).astype(np.float32) / 127.5 - 1.0
+        b = b.reshape(-1, H, W, 3).astype(np.float32) / 127.5 - 1.0
+        out = []
+        for lo in range(0, len(a), batch_size):
+            xa, xb = a[lo:lo + batch_size], b[lo:lo + batch_size]
+            pad = batch_size - len(xa)
+            if pad:
+                xa = np.concatenate([xa, np.repeat(xa[-1:], pad, 0)])
+                xb = np.concatenate([xb, np.repeat(xb[-1:], pad, 0)])
+            d = np.asarray(dist(jnp.asarray(xa), jnp.asarray(xb))).reshape(-1)
+            out.append(d[:len(a[lo:lo + batch_size])])
+        return np.concatenate(out)
+
+    return fn

@@ -44,6 +44,12 @@ def decode_latents_wrapper(ckpt_path: Optional[str] = None, batch_size: int = 16
         params, config = load_tokenizer(ckpt_path)
         model = VQModel(config)
     else:
+        import warnings
+        warnings.warn(
+            "decode_latents_wrapper: no tokenizer checkpoint given — decoding "
+            "with RANDOMLY INITIALIZED weights; frames (and any LPIPS "
+            "computed from them) are garbage. Pass ckpt_path for real output.",
+            stacklevel=2)
         h = 16
         dummy = jnp.zeros((1, h, h), dtype=jnp.int32)
         params = model.init(jax.random.PRNGKey(0), dummy,
