@@ -51,12 +51,44 @@ def test_orbax_resume_exact(tmp_path):
         state, _ = step(state, tokens)
     final_a = jax.tree_util.tree_leaves(state.params)[0]
 
-    restored = ckpt.restore("step_2", jax.device_get(state))
-    assert int(restored.step) == 2
-    state_b = jax.tree_util.tree_map(jnp.asarray, restored)
+    state_b = ckpt.restore("step_2", state)
+    assert int(state_b.step) == 2
     for _ in range(2):
         state_b, _ = step(state_b, tokens)
     final_b = jax.tree_util.tree_leaves(state_b.params)[0]
     np.testing.assert_allclose(np.asarray(final_a), np.asarray(final_b),
                                rtol=1e-6)
     assert ckpt.latest_step() == 2
+
+
+def test_orbax_sharded_async_roundtrip(tmp_path):
+    """Orbax save of the *sharded* state (no host gather), async; restore
+    materializes arrays directly into the same mesh shardings
+    (VERDICT r1 #4): dp4 x tp2 + fsdp on the 8-device CPU mesh."""
+    from tpu1x.parallel.mesh import make_mesh
+    from tpu1x.train.step import shard_train_state
+
+    cfg = genie_tiny(num_heads=2, d_model=32)
+    model = STMaskGIT(cfg)
+    tx = build_optimizer(cfg, learning_rate=1e-3, num_training_steps=10)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(dp=4, tp=2)
+    state, _ = shard_train_state(state, mesh, fsdp=True)
+
+    ckpt = Checkpointer(tmp_path / "out")
+    ckpt.save(state, "step_0")  # async: returns before serialization is done
+    ckpt.wait_until_finished()
+
+    # restore into a freshly sharded (different-valued) target
+    other = create_train_state(model, tx, jax.random.PRNGKey(1), cfg)
+    other, _ = shard_train_state(other, mesh, fsdp=True)
+    restored = ckpt.restore("step_0", other)
+
+    for want, got in zip(jax.tree_util.tree_leaves(state),
+                         jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+    # shardings preserved: restored arrays live on the mesh, not replicated
+    for want, got in zip(jax.tree_util.tree_leaves(state.params),
+                         jax.tree_util.tree_leaves(restored.params)):
+        if hasattr(want, "sharding") and hasattr(got, "sharding"):
+            assert want.sharding == got.sharding, (want.sharding, got.sharding)

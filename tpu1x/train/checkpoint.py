@@ -59,22 +59,49 @@ def load_pretrained(save_dir, target_params: Optional[Any] = None
 # ---------------------------------------------------------------------------
 
 class Checkpointer:
-    """Orbax-backed training checkpoints under `{output_dir}/step_{N}`."""
+    """Orbax-backed training checkpoints under `{output_dir}/step_{N}`.
+
+    Scale-correct by construction: `save` hands Orbax the *sharded*
+    jax.Arrays directly (each host writes only its own shards — no
+    full-state host gather), and the save is asynchronous: it returns as
+    soon as device buffers are snapshotted, with the serialization running
+    in the background. The next `save`/`close` waits for any in-flight
+    write first, so at most one step of training overlaps IO.
+
+    Restore takes target *shardings*, not values: arrays are materialized
+    directly into their mesh placement (no restore-then-reshard double
+    allocation).
+    """
 
     def __init__(self, output_dir):
         self.output_dir = Path(output_dir).resolve()
         self.output_dir.mkdir(parents=True, exist_ok=True)
-        self._ckpt = ocp.StandardCheckpointer()
+        self._ckpt = ocp.StandardCheckpointer()  # AsyncCheckpointer subclass
 
-    def save(self, state: Any, name: str) -> Path:
+    def save(self, state: Any, name: str, wait: bool = False) -> Path:
         path = self.output_dir / name
-        self._ckpt.save(path, jax.device_get(state), force=True)
-        self._ckpt.wait_until_finished()
+        self._ckpt.wait_until_finished()  # previous async save, if any
+        self._ckpt.save(path, state, force=True)
+        if wait:
+            self._ckpt.wait_until_finished()
         return path
 
     def restore(self, name: str, target: Any) -> Any:
+        """`target`: a pytree of jax.Arrays (or ShapeDtypeStructs) whose
+        shapes/dtypes/shardings the restored arrays should take."""
         path = self.output_dir / name
-        return self._ckpt.restore(path, target)
+
+        def as_abstract(x):
+            if isinstance(x, jax.Array):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                            sharding=x.sharding)
+            return x
+
+        abstract = jax.tree_util.tree_map(as_abstract, target)
+        return self._ckpt.restore(path, abstract)
+
+    def wait_until_finished(self) -> None:
+        self._ckpt.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
         steps = []
