@@ -75,15 +75,59 @@ class TestRolloutEngine:
         cfg, model, params = setup
         engine = RolloutEngine(model, params, cfg)
         rng = jax.random.PRNGKey(3)
-        ctx = jax.random.randint(rng, (4, cfg.T, 4, 4), 0,
+        T_ctx = 2
+        ctx = jax.random.randint(rng, (T_ctx, 4, 4), 0,
                                  cfg.image_vocab_size, dtype=jnp.int32)
-        scores = engine.score_policies(ctx, ctx)
+        conts = jax.random.randint(jax.random.PRNGKey(4),
+                                   (4, cfg.T - T_ctx, 4, 4), 0,
+                                   cfg.image_vocab_size, dtype=jnp.int32)
+        scores, frame_ce = engine.score_policies(ctx, conts, per_frame=True)
         assert scores.shape == (4,)
+        assert frame_ce.shape == (4, cfg.T - T_ctx)
         assert np.isfinite(np.asarray(scores)).all()
-        order = engine.rank_policies(ctx, ctx)
+        # the mean score is exactly the mean of the per-frame breakdown
+        np.testing.assert_allclose(np.asarray(frame_ce).mean(axis=1),
+                                   np.asarray(scores), rtol=1e-6)
+        order = engine.rank_policies(ctx, conts)
         assert sorted(order.tolist()) == [0, 1, 2, 3]
         np.testing.assert_array_equal(
             np.asarray(scores)[order], np.sort(np.asarray(scores)))
+
+    def test_policy_ranking_signal(self):
+        """A world-model-consistent continuation must outrank corrupted ones
+        on a trained model (VERDICT r1 #10) — and the P axis shards over the
+        mesh."""
+        from tpu1x.train.optim import build_optimizer
+        from tpu1x.train.step import create_train_state, make_train_step
+
+        cfg = genie_tiny(T=4)
+        model = STMaskGIT(cfg)
+        tx = build_optimizer(cfg, learning_rate=1e-2, num_training_steps=1000,
+                             lr_scheduler_type="constant")
+        state = create_train_state(model, tx, jax.random.PRNGKey(0), cfg)
+        step = make_train_step(model, tx, cfg, donate=False)
+        tokens = jax.random.randint(jax.random.PRNGKey(3), (2, cfg.T, 4, 4),
+                                    0, cfg.image_vocab_size, dtype=jnp.int32)
+        for _ in range(100):
+            state, metrics = step(state, tokens)
+        assert float(metrics["loss"]) < 4.0, float(metrics["loss"])
+
+        T_ctx = 2
+        ctx = tokens[0, :T_ctx]
+        true_cont = tokens[0, T_ctx:]
+        rng = np.random.RandomState(0)
+        conts = [np.asarray(true_cont)]
+        for seed in range(7):  # spatially scrambled = world-inconsistent
+            flat = np.asarray(true_cont).reshape(-1)
+            conts.append(rng.permutation(flat).reshape(true_cont.shape))
+        conts = jnp.asarray(np.stack(conts))
+
+        mesh = make_mesh(dp=4, tp=2)
+        engine = RolloutEngine(model, state.params, cfg, mesh=mesh)
+        scores = np.asarray(engine.score_policies(ctx, conts))
+        assert scores.shape == (8,)
+        assert np.argmin(scores) == 0, scores  # the true future wins
+        assert engine.rank_policies(ctx, conts)[0] == 0
 
     def test_cached_matches_full_decode(self, setup):
         """The KV-cached engine path is token-exact vs the uncached oracle."""

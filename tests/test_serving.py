@@ -157,6 +157,46 @@ def test_engine_full_rollout_matches_flax():
                                atol=2e-2, rtol=2e-2)
 
 
+def test_engine_rollout_exact_tokens_trained():
+    """With *trained* (sharpened, non-near-uniform) logits, the engine rollout
+    must be TOKEN-EXACT vs the flax path — the 0.9-agreement tolerance above
+    exists only for random-init bf16 argmax ties (VERDICT r1 #7)."""
+    from tpu1x.train.optim import build_optimizer
+    from tpu1x.train.step import create_train_state, make_train_step
+
+    cfg, model, params = setup_model()
+    tx = build_optimizer(cfg, learning_rate=1e-2, num_training_steps=1000,
+                         lr_scheduler_type="constant")
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), cfg)
+    step = make_train_step(model, tx, cfg, donate=False)
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (2, cfg.T, 4, 4), 0,
+                                cfg.image_vocab_size, dtype=jnp.int32)
+    for _ in range(100):
+        state, metrics = step(state, tokens)
+    # far from the ~12.5 uniform loss: logits are sharp, argmax is stable
+    assert float(metrics["loss"]) < 4.0, float(metrics["loss"])
+
+    sparams = prepare_serving_params(state.params)
+    engine = DecodeEngine(cfg, attn_impl="xla")
+    prompt = tokens[:, :2].reshape(2, -1)
+
+    def prefill_fn(t):
+        return model.apply({"params": sparams}, t, method=STMaskGIT.prefill)
+
+    def flax_decode(f, t, c):
+        return model.apply({"params": sparams}, f, t, c,
+                           method=STMaskGIT.decode_frame)
+
+    gen = functools.partial(generate_cached, prefill_fn,
+                            input_ids_BN=prompt, num_new_frames=cfg.T - 2,
+                            rng=jax.random.PRNGKey(7), config=cfg,
+                            maskgit_steps=2)
+    tokens_ref, _ = gen(flax_decode)
+    tokens_eng, _ = gen(functools.partial(engine.decode_frame, sparams))
+    np.testing.assert_array_equal(np.asarray(tokens_eng),
+                                  np.asarray(tokens_ref))
+
+
 def test_pallas_decode_kernel_parity_interpret():
     """Pallas kernel vs jnp oracle in interpreter mode (CPU)."""
     from tpu1x.ops.decode_attention import (

@@ -60,7 +60,7 @@ class RolloutEngine:
             self._serving = DecodeEngine(config)
             self.params = prepare_serving_params(params)
         self._rollout_jit = {}
-        self._score_jit = None
+        self._score_jit = {}
 
     def _logits_fn(self, params, actions=None):
         # params flow in as jit arguments (never closure constants)
@@ -127,33 +127,72 @@ class RolloutEngine:
 
     def score_policies(self, context_tokens: jnp.ndarray,
                        continuation_tokens: jnp.ndarray,
-                       actions: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        """Score P candidate continuations by world-model likelihood.
+                       actions: Optional[jnp.ndarray] = None,
+                       per_frame: bool = False):
+        """Score P candidate policy continuations by world-model likelihood.
+
+        Contract (the reference's evaluation challenge, README.md:29-32:
+        "rank N policies via action-conditioned rollouts"):
+        - All policies share ONE observed context of T_ctx frames; each
+          policy contributes the T - T_ctx frames it would produce
+          (its imagined/actual future), plus optionally its full (P, T)
+          action sequence.
+        - Teacher-forced factored CE is computed over ALL tokens of the
+          *policy-controlled* frames only (frames >= T_ctx) — context frames
+          never enter the score. This is the challenge CE restricted to the
+          continuation region (eval_utils.py:44-77 semantics); no sampler
+          masking is involved.
+        - The P axis is sharded over the full mesh when one is configured.
 
         Args:
-            context_tokens: (P, T, H, W) int32 — full windows whose frames
-                >= some split come from each policy (teacher-forced CE over
-                frames 1.. is computed like the challenge metric).
-            continuation_tokens: (P, T, H, W) int32 targets.
+            context_tokens: (T_ctx, H, W) int32 observed context, T_ctx >= 1.
+            continuation_tokens: (P, T - T_ctx, H, W) int32 per-policy futures.
+            actions: optional (P, T) int32 per-policy action ids.
+            per_frame: also return the per-frame CE breakdown.
 
-        Returns: (P,) float32 mean CE per policy (lower = more likely).
+        Returns: (P,) float32 mean CE per policy (lower = the world model
+        finds the policy's future more likely); with per_frame=True, a tuple
+        of that and (P, T - T_ctx) per-frame CE.
         """
         cfg = self.config
+        assert context_tokens.ndim == 3, \
+            "context is a single (T_ctx, H, W) window shared by all policies"
+        T_ctx = context_tokens.shape[0]
+        P, T_new = continuation_tokens.shape[:2]
+        assert T_ctx + T_new == cfg.T, (T_ctx, T_new, cfg.T)
+        assert T_ctx >= 1, "need at least one observed frame to condition on"
 
-        if self._score_jit is None:
-            def run(params, tokens, targets, actions):
+        windows = jnp.concatenate([
+            jnp.broadcast_to(context_tokens[None],
+                             (P, T_ctx, *context_tokens.shape[1:])),
+            continuation_tokens,
+        ], axis=1).astype(jnp.int32)
+        if self.mesh is not None:
+            windows = jax.device_put(windows, rollout_sharding(self.mesh))
+            if actions is not None:
+                actions = jax.device_put(actions, rollout_sharding(self.mesh))
+
+        key = (T_ctx, actions is not None)
+        if self._score_jit.get(key) is None:
+            def run(params, windows, actions):
                 logits = self.model.apply(
-                    {"params": params}, tokens, actions,
-                    method=STMaskGIT.compute_logits)
-                mask = jnp.ones((1, cfg.T - 1, cfg.S), dtype=bool)
-
-                def one(lg, tg):
-                    loss, _ = compute_loss_and_acc(lg[None], tg[None], mask, cfg)
-                    return loss
-                return jax.vmap(one)(logits, targets)
-            self._score_jit = jax.jit(run)
-        return self._score_jit(self.params, context_tokens,
-                               continuation_tokens, actions)
+                    {"params": params}, windows, actions,
+                    method=STMaskGIT.compute_logits)  # (P, T, S, V, F)
+                from tpu1x.models.factorization import factorize_token_ids
+                targets = windows.reshape(P, cfg.T, cfg.S)[:, 1:]
+                ft = factorize_token_ids(targets, cfg.num_factored_vocabs,
+                                         cfg.factored_vocab_size)
+                logp = jax.nn.log_softmax(
+                    logits[:, 1:].astype(jnp.float32), axis=-2)
+                tok_logp = jnp.take_along_axis(
+                    logp, ft[:, :, :, None, :], axis=-2)[:, :, :, 0, :]
+                ce_PTS = -tok_logp.sum(axis=-1)  # sum over factored vocabs
+                frame_ce = ce_PTS.mean(axis=-1)  # (P, T-1)
+                cont_frame_ce = frame_ce[:, T_ctx - 1:]  # frames >= T_ctx
+                return cont_frame_ce.mean(axis=-1), cont_frame_ce
+            self._score_jit[key] = jax.jit(run)
+        scores, frame_ce = self._score_jit[key](self.params, windows, actions)
+        return (scores, frame_ce) if per_frame else scores
 
     def rank_policies(self, context_tokens, continuation_tokens,
                       actions=None) -> np.ndarray:
