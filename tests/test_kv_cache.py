@@ -14,9 +14,14 @@ from tpu1x.models.sampler import (generate, generate_cached, maskgit_generate,
 from tpu1x.models.st_maskgit import STMaskGIT, update_cache
 
 
-@pytest.fixture(scope="module", params=[True, False],
+@pytest.fixture(scope="module",
+                params=[True,
+                        pytest.param(False, marks=pytest.mark.slow)],
                 ids=["scan", "unrolled"])
 def setup(request):
+    # the unrolled variant re-traces every layer: heavy compiles, so it is
+    # marked slow (run with `-m ""` or by default; deselect with `-m "not
+    # slow"` for quick iterations)
     cfg = genie_tiny(T=4, scan_layers=request.param)
     model = STMaskGIT(cfg)
     rng = jax.random.PRNGKey(0)
