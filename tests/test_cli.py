@@ -152,9 +152,8 @@ def test_cli_from_reference_torch_checkpoint(tiny_setup):
     assert (gen_dir / "video.bin").exists()
 
 
-def test_evaluate_cli_with_lpips(tiny_setup):
-    """--tokenizer_ckpt + --lpips_ckpt produce pred_lpips from the CLI
-    (VERDICT r1 #2). Weights are random (tiny smoke); wiring is the point."""
+def _make_tiny_tokenizer(root):
+    """32px tokenizer checkpoint over 4x4 latent grids (vocab 64)."""
     import jax
     import jax.numpy as jnp
 
@@ -162,21 +161,58 @@ def test_evaluate_cli_with_lpips(tiny_setup):
     from tpu1x.tokenizer.checkpoint import save_tokenizer
     from tpu1x.tokenizer.vqmodel import VQModel
 
-    root, data_dir, cfg_path = tiny_setup
-    ckpt_dir = root / "out" / "final_checkpt_hf"
-    assert ckpt_dir.exists()
-
-    # tiny tokenizer whose latent grid matches the 4x4 token data; 3
-    # upsample levels -> 32px images (the AlexNet LPIPS trunk's pooling
-    # stack needs >= ~32px or its feature maps collapse to size zero)
     vq_cfg = VQConfig(resolution=32, base_channels=32, ch_mult=(1, 1, 2, 2),
                       num_res_blocks=1, z_channels=6, codebook_size=64,
                       dtype="float32")
     vq = VQModel(vq_cfg)
-    params = vq.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4), jnp.int32),
-                     method=VQModel.decode_tokens)["params"]
+    # init the full autoencoder so both encode (tokenize CLI) and decode
+    # (evaluate/visualize) paths have parameters
+    params = vq.init(jax.random.PRNGKey(0),
+                     jnp.zeros((1, 32, 32, 3), jnp.float32))["params"]
     tok_dir = root / "tok_ckpt"
-    save_tokenizer(tok_dir, params, vq_cfg)
+    if not tok_dir.exists():
+        save_tokenizer(tok_dir, params, vq_cfg)
+    return tok_dir
+
+
+def test_tokenize_cli(tiny_setup):
+    """frames (.npy segments) -> video.bin dataset via the encode CLI; the
+    result loads through RawTokenDataset with segment filtering intact."""
+    root, data_dir, cfg_path = tiny_setup
+    tok_dir = _make_tiny_tokenizer(root)
+
+    rng = np.random.RandomState(0)
+    frames_dir = root / "frames"
+    frames_dir.mkdir(exist_ok=True)
+    for seg in range(2):
+        np.save(frames_dir / f"clip_{seg}.npy",
+                rng.randint(0, 256, (5, 32, 32, 3)).astype(np.uint8))
+
+    out_dir = root / "tokenized"
+    r = run_module("tpu1x.tokenizer.tokenize", [
+        "--frames", str(frames_dir), "--tokenizer_ckpt", str(tok_dir),
+        "--output_dir", str(out_dir), "--batch_size", "4"], cwd=str(root))
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    from tpu1x.data.token_store import RawTokenDataset
+    ds = RawTokenDataset(out_dir, window_size=3, stride=1)
+    meta = ds.metadata
+    assert meta["num_images"] == 10 and meta["s"] == 4
+    assert meta["vocab_size"] == 64
+    assert int(np.asarray(ds.data).max()) < 64
+    # windows crossing the clip_0/clip_1 boundary are filtered out
+    assert len(ds) == 2 * (5 - 3 + 1)
+
+
+def test_evaluate_cli_with_lpips(tiny_setup):
+    """--tokenizer_ckpt + --lpips_ckpt produce pred_lpips from the CLI
+    (VERDICT r1 #2). Weights are random (tiny smoke); wiring is the point.
+    The tokenizer decodes 32px images — the AlexNet LPIPS trunk's pooling
+    stack collapses to size-zero feature maps below ~32px."""
+    root, data_dir, cfg_path = tiny_setup
+    ckpt_dir = root / "out" / "final_checkpt_hf"
+    assert ckpt_dir.exists()
+    tok_dir = _make_tiny_tokenizer(root)
 
     r = run_module("tpu1x.eval.evaluate", [
         "--val_data_dir", str(data_dir), "--checkpoint_dir", str(ckpt_dir),
