@@ -24,7 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def capture(batch: int, maskgit_steps: int, logdir: str,
-            serving: bool = False):
+            serving: bool = False, attn_impl: str = "auto",
+            unroll_frames: bool = False, prefill_attn_impl: str = None,
+            flax_prefill: bool = False):
     import functools
 
     import jax
@@ -49,12 +51,18 @@ def capture(batch: int, maskgit_steps: int, logdir: str,
     if serving:  # the exact bench.py path
         from tpu1x.serving import DecodeEngine, prepare_serving_params
         params = prepare_serving_params(params)
-        engine = DecodeEngine(config)
+        engine = DecodeEngine(config, attn_impl=attn_impl,
+                              prefill_attn_impl=prefill_attn_impl)
 
     @jax.jit
     def gen(params, prompt, rng):
         if serving:
-            prefill_fn = functools.partial(engine.prefill, params)
+            if flax_prefill:
+                def prefill_fn(t):
+                    return model.apply({"params": params}, t,
+                                       method=STMaskGIT.prefill)
+            else:
+                prefill_fn = functools.partial(engine.prefill, params)
             decode_fn = functools.partial(engine.decode_frame, params)
         else:
             def prefill_fn(t):
@@ -66,7 +74,8 @@ def capture(batch: int, maskgit_steps: int, logdir: str,
                                    method=STMaskGIT.decode_frame)
 
         return generate_cached(prefill_fn, decode_fn, prompt, num_new, rng,
-                               config, maskgit_steps=maskgit_steps)
+                               config, maskgit_steps=maskgit_steps,
+                               unroll_frames=unroll_frames)
 
     out, _ = gen(params, prompt, jax.random.PRNGKey(2))  # compile + warmup
     jax.device_get(out)
@@ -83,6 +92,8 @@ def capture(batch: int, maskgit_steps: int, logdir: str,
 
 
 def analyze(logdir: str, top: int = 40):
+    import re
+
     paths = glob.glob(os.path.join(logdir, "**", "*.json.gz"), recursive=True)
     if not paths:
         print("no perfetto trace found under", logdir)
@@ -98,20 +109,37 @@ def analyze(logdir: str, top: int = 40):
     device_pids = {pid for pid, name in pid_names.items()
                    if "TPU" in name or "/device" in name.lower()}
 
-    by_name = collections.Counter()
-    calls = collections.Counter()
-    total = 0.0
+    # collect leaf slices only: umbrella slices (jit_..., while bodies)
+    # contain their children and would double-count. Group op families by
+    # stripping trailing ".N"/numeric ids so per-layer clones merge.
+    slices = []
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
             continue
-        dur = e.get("dur", 0)  # microseconds
-        name = e.get("name", "?")
-        by_name[name] += dur
-        calls[name] += 1
+        slices.append((e.get("ts", 0), e.get("dur", 0), e.get("name", "?"),
+                       e.get("tid")))
+    slices.sort()
+
+    def is_parent(name):
+        return name.startswith(("jit_", "jit(")) or name.startswith("while")
+
+    def family(name):
+        name = re.sub(r"\.\d+$", "", name)
+        return re.sub(r"\d+$", "", name)
+
+    by_name = collections.Counter()
+    calls = collections.Counter()
+    total = 0.0
+    for ts, dur, name, tid in slices:
+        if is_parent(name):
+            continue
+        fam = family(name)
+        by_name[fam] += dur
+        calls[fam] += 1
         total += dur
     print(f"device tracks: {[pid_names[p] for p in device_pids]}")
-    print(f"total device slice time: {total/1e3:.1f} ms")
-    print(f"{'op':<60} {'ms':>9} {'%':>6} {'calls':>7}")
+    print(f"total leaf device time: {total/1e3:.1f} ms")
+    print(f"{'op family':<60} {'ms':>9} {'%':>6} {'calls':>7}")
     for name, dur in by_name.most_common(top):
         print(f"{name[:60]:<60} {dur/1e3:>9.2f} {dur/total*100:>6.1f} "
               f"{calls[name]:>7}")
@@ -123,6 +151,11 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=2)
     ap.add_argument("--serving", action="store_true",
                     help="profile the serving DecodeEngine path (bench.py)")
+    ap.add_argument("--attn_impl", type=str, default="auto",
+                    choices=["auto", "xla", "pallas"])
+    ap.add_argument("--unroll_frames", action="store_true")
+    ap.add_argument("--prefill_attn_impl", type=str, default=None)
+    ap.add_argument("--flax_prefill", action="store_true")
     ap.add_argument("--logdir", type=str, default=None)
     ap.add_argument("--analyze_only", type=str, default=None)
     args = ap.parse_args()
@@ -130,6 +163,9 @@ if __name__ == "__main__":
         analyze(args.analyze_only)
     else:
         logdir = args.logdir or tempfile.mkdtemp(prefix="tpu1x_prof_")
-        capture(args.batch, args.steps, logdir, serving=args.serving)
+        capture(args.batch, args.steps, logdir, serving=args.serving,
+                attn_impl=args.attn_impl, unroll_frames=args.unroll_frames,
+                prefill_attn_impl=args.prefill_attn_impl,
+                flax_prefill=args.flax_prefill)
         print(f"trace in {logdir}")
         analyze(logdir)

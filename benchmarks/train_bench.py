@@ -23,6 +23,9 @@ def main():
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--remat_policy", type=str, default="none",
+                   choices=["none", "dots", "dots_no_batch"])
+    p.add_argument("--no_remat", action="store_true")
     args = p.parse_args()
 
     from tpu1x.model_zoo import MODEL_ZOO
@@ -34,6 +37,9 @@ def main():
     from tpu1x.utils.profiling import device_peak_flops, training_flops
 
     config = MODEL_ZOO[args.model]()
+    config.remat_policy = args.remat_policy
+    if args.no_remat:
+        config.remat = False
     model = STMaskGIT(config)
     tx = build_optimizer(config, learning_rate=1e-4, num_training_steps=1000)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), config)

@@ -151,6 +151,7 @@ class TestCachedSamplerParity:
                               cache_partial)
         committed = update_cache(cache_partial, kv_cur, t)
         cache_full = prefill_fn(tokens[:, :t + 1])
+        # T-major cache (T, L, B, S, C): compare the committed slots
         np.testing.assert_allclose(
-            np.asarray(committed["k"][:, :, :, :t + 1]),
-            np.asarray(cache_full["k"][:, :, :, :t + 1]), atol=1e-4, rtol=1e-3)
+            np.asarray(committed["k"][:t + 1]),
+            np.asarray(cache_full["k"][:t + 1]), atol=1e-4, rtol=1e-3)

@@ -106,8 +106,8 @@ def test_engine_prefill_matches_flax(qk_norm, use_mup, actions):
         np.testing.assert_allclose(np.asarray(got[key], np.float32),
                                    np.asarray(ref[key], np.float32),
                                    atol=2e-2, rtol=2e-2)
-    # padded slots stay zero
-    assert not np.asarray(got["k"])[:, :, :, 2:].any()
+    # padded slots stay zero (T-major cache: frame axis leads)
+    assert not np.asarray(got["k"])[2:].any()
 
     # decode against the engine-built cache == decode against the flax cache
     frame = jnp.full((B, cfg.S), cfg.mask_token_id, jnp.int32)
@@ -204,14 +204,15 @@ def test_pallas_decode_kernel_parity_interpret():
     L, B, S, T, C, H = 3, 4, 32, 5, 64, 4
     ks = jax.random.split(jax.random.PRNGKey(0), 6)
     q = jax.random.normal(ks[0], (B, S, C), jnp.bfloat16)
-    kc = jax.random.normal(ks[1], (L, B, S, T, C), jnp.bfloat16)
-    vc = jax.random.normal(ks[2], (L, B, S, T, C), jnp.bfloat16)
+    kc = jax.random.normal(ks[1], (T, L, B, S, C), jnp.bfloat16)
+    vc = jax.random.normal(ks[2], (T, L, B, S, C), jnp.bfloat16)
     kcur = jax.random.normal(ks[3], (B, S, C), jnp.bfloat16)
     vcur = jax.random.normal(ks[4], (B, S, C), jnp.bfloat16)
     tB = jnp.array([1, 2, 3, 4], jnp.int32)
     for layer in (0, 2):
         ref = temporal_decode_attention_reference(
-            q, kc[layer], vc[layer], kcur, vcur, tB, scale=0.25, num_heads=H)
+            q, kc[:, layer], vc[:, layer], kcur, vcur, tB, scale=0.25,
+            num_heads=H)
         out = temporal_decode_attention(
             q, kc, vc, kcur, vcur, tB, layer=layer, scale=0.25, num_heads=H,
             tile_s=16, interpret=True)

@@ -64,11 +64,23 @@ class GenieConfig:
     # ---- TPU-native extensions (not present in the reference) ----
     dtype: str = "bfloat16"  # compute/activation dtype
     param_dtype: str = "float32"  # parameter storage dtype
-    attn_impl: str = "auto"  # "xla" | "pallas" | "auto" (pallas on TPU, xla elsewhere)
+    # Attention implementation for the training/forward path: "xla" |
+    # "pallas" | "auto". "auto" resolves to "xla" — measured on a v5e chip,
+    # XLA's fused attention beats the handwritten flash kernel at ST shapes
+    # (S=256, T=16; benchmarks/attn_bench.py, profile_gen.py: prefill spatial
+    # 830->795 ms/batch switching pallas->xla), and the flash kernel has no
+    # VJP. The fused Pallas kernels that DO win ship on the serving decode
+    # path (tpu1x/ops/decode_attention.py, used by tpu1x/serving.py).
+    attn_impl: str = "auto"
     # jax.checkpoint each ST block: backward recomputes instead of saving all
     # L layers' attention/MLP activations (32 layers x B=4 already OOMs a
     # 16 GB chip without it). Free at inference (no-op outside autodiff).
     remat: bool = True
+    # What the per-block checkpoint SAVES: "none" (full recompute, min
+    # memory), "dots" (save matmul outputs, recompute elementwise only —
+    # jax.checkpoint_policies.checkpoint_dots; trades memory for backward
+    # FLOPs), "dots_no_batch" (dots_with_no_batch_dims_saveable).
+    remat_policy: str = "none"
     scan_layers: bool = True  # lax.scan over the layer stack (fast compiles)
     # muP base shapes (reference hardcodes base 8 heads / d_model 256,
     # genie/st_mask_git.py:298-304)

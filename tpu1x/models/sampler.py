@@ -121,7 +121,8 @@ def maskgit_generate_cached(
     tokens (see `generate_cached`)).
     """
     assert unmask_mode in ("greedy", "random"), unmask_mode
-    B = cache["k"].shape[1] if batch_size is None else batch_size
+    # cache layout (T, L, B, S, C)
+    B = cache["k"].shape[2] if batch_size is None else batch_size
     S = config.S
     h = w = config.latent_side_len
     out_t = jnp.broadcast_to(jnp.asarray(out_t, jnp.int32), (B,))
@@ -160,6 +161,7 @@ def generate_cached(
     temperature: float = 0.0,
     unmask_mode: str = "random",
     actions_BT=None,
+    unroll_frames: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """KV-cached autoregressive rollout; same contract as `generate`.
 
@@ -171,6 +173,9 @@ def generate_cached(
         actions_BT: optional (B, T) int32 action ids; frames <P condition the
             prefill (prefill_fn must accept them), frame t's decode steps get
             action_B = actions_BT[:, t].
+        unroll_frames: unroll the frame loop (static frame indices — the
+            cache commit becomes an aligned static-index update; costs a
+            ~T_new x larger program/compile).
     """
     from tpu1x.models.st_maskgit import update_cache
 
@@ -206,7 +211,8 @@ def generate_cached(
 
     timesteps = jnp.arange(num_prompt_frames, T, dtype=jnp.int32)
     (_, _), (frames, all_logits) = jax.lax.scan(
-        frame_step, (cache, rng), timesteps)
+        frame_step, (cache, rng), timesteps,
+        unroll=num_new_frames if unroll_frames else 1)
     # frames: (num_new, B, S) -> (B, num_new, S)
     frames = jnp.moveaxis(frames, 0, 1).reshape(B, num_new_frames * S)
     tokens = jnp.concatenate([input_ids_BN.astype(jnp.int32), frames], axis=1)

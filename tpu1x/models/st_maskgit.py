@@ -55,6 +55,7 @@ class STMaskGIT(nn.Module):
             use_mup=cfg.use_mup, attn_drop=cfg.attn_drop, mlp_ratio=cfg.mlp_ratio,
             mlp_bias=cfg.mlp_bias, mlp_drop=cfg.mlp_drop, dtype=dtype,
             param_dtype=param_dtype, attn_impl=cfg.attn_impl, remat=cfg.remat,
+            remat_policy=cfg.remat_policy,
             scan_layers=cfg.scan_layers, name="decoder",
         )
         self.pos_embed_TSC = self.param(
@@ -116,9 +117,12 @@ class STMaskGIT(nn.Module):
 
         Args:
             tokens_BPHW: (B, P, H, W) committed frames, P <= T.
-        Returns cache {"k","v"}: (L, B, S, T, C) with heads flattened into
+        Returns cache {"k","v"}: (T, L, B, S, C) with heads flattened into
         C = num_heads * head_dim (TPU-tile-friendly minor dim), slots >= P
-        zero-padded.
+        zero-padded. The frame axis T is MAJOR so the per-frame commit
+        (`update_cache`) is one contiguous tile-aligned slab write — with T
+        second-minor, XLA rewrote the multi-GB cache every frame (measured
+        14% of decode wall, benchmarks/profile_gen.py).
         """
         cfg = self.config
         B, P, H, W = tokens_BPHW.shape
@@ -126,10 +130,12 @@ class STMaskGIT(nn.Module):
         x = x + self.pos_embed_TSC[:, :P].astype(x.dtype)
         if cfg.action_vocab_size > 0 and actions_BP is not None:
             x = x + self.action_embed(actions_BP)[:, :, None, :].astype(x.dtype)
-        _, (k, v) = self.decoder.prefill(x)
+        _, (k, v) = self.decoder.prefill(x)  # each (L, B, S, P, C)
+        k = jnp.moveaxis(k, 3, 0)  # (P, L, B, S, C)
+        v = jnp.moveaxis(v, 3, 0)
         pad = cfg.T - P
         if pad > 0:
-            pad_widths = [(0, 0), (0, 0), (0, 0), (0, pad), (0, 0)]
+            pad_widths = [(0, pad), (0, 0), (0, 0), (0, 0), (0, 0)]
             k = jnp.pad(k, pad_widths)
             v = jnp.pad(v, pad_widths)
         return {"k": k, "v": v}
@@ -142,10 +148,10 @@ class STMaskGIT(nn.Module):
             frame_tokens_BS: (B, S) int32 current-frame tokens (may contain
                 mask ids).
             t_B: (B,) int32 frame index per row (cache slots >= t are masked).
-            cache: {"k","v"} from `prefill`.
+            cache: {"k","v"} from `prefill`, layout (T, L, B, S, C).
 
         Returns: (logits (B, S, V, F) float32, kv_cur (k, v) each
-        (L, B, S, 1, C) for `update_cache`).
+        (1, L, B, S, C) for `update_cache`).
         """
         cfg = self.config
         t_B = jnp.broadcast_to(jnp.asarray(t_B, jnp.int32),
@@ -155,13 +161,15 @@ class STMaskGIT(nn.Module):
         x = x + pos.astype(x.dtype)
         if cfg.action_vocab_size > 0 and action_B is not None:
             x = x + self.action_embed(action_B)[:, None, :].astype(x.dtype)
-        y, kv_cur = self.decoder.decode_step(x, cache["k"], cache["v"], t_B)
+        y, (k_cur, v_cur) = self.decoder.decode_step(x, cache["k"],
+                                                     cache["v"], t_B)
         if cfg.use_mup:
             y = y / cfg.width_mult
         logits = self.out_x_proj(y.astype(jnp.float32))
         B, S = frame_tokens_BS.shape
-        return logits.reshape(B, S, cfg.num_factored_vocabs,
-                              cfg.factored_vocab_size).swapaxes(-1, -2), kv_cur
+        return (logits.reshape(B, S, cfg.num_factored_vocabs,
+                               cfg.factored_vocab_size).swapaxes(-1, -2),
+                (k_cur[None], v_cur[None]))  # (1, L, B, S, C) for update_cache
 
     def __call__(self, input_ids, labels, actions=None) -> Dict[str, jnp.ndarray]:
         """Training forward (reference: st_mask_git.py:267-279).
@@ -217,10 +225,14 @@ def compute_loss_and_acc(logits_BTSVF, targets_BTHW, relevant_mask_BTS, cfg: Gen
 
 
 def update_cache(cache: Dict[str, jnp.ndarray], kv_cur, t) -> Dict[str, jnp.ndarray]:
-    """Commit a frame's K/V into cache slot `t` (scalar, may be traced)."""
+    """Commit a frame's K/V into cache slot `t` (scalar, may be traced).
+
+    With the T-major cache, the (1, L, B, S, C) update is one contiguous
+    tile-aligned slab — XLA updates the carry buffer in place instead of
+    copying the whole cache.
+    """
     k_cur, v_cur = kv_cur
-    zeros = (0, 0, 0)
-    idx = (*zeros, jnp.asarray(t, jnp.int32), 0)
+    idx = (jnp.asarray(t, jnp.int32), 0, 0, 0, 0)
     return {"k": jax.lax.dynamic_update_slice(cache["k"], k_cur, idx),
             "v": jax.lax.dynamic_update_slice(cache["v"], v_cur, idx)}
 

@@ -152,15 +152,16 @@ class STBlock(nn.Module):
 
         Args:
             x_BSC: (B, S, C) current-frame activations.
-            cache_k/cache_v: (B, S, T, C) committed frames' K/V, heads
-                flattened (slots >= each row's t are ignored via masking).
+            cache_k/cache_v: (T, B, S, C) committed frames' K/V (T-major —
+                see STMaskGIT.prefill), heads flattened (slots >= each row's
+                t are ignored via masking).
             t_B: (B,) int32 current frame index per row.
 
-        Returns: (y_BSC, k_cur, v_cur) with k_cur/v_cur (B, S, 1, C) —
+        Returns: (y_BSC, k_cur, v_cur) with k_cur/v_cur (B, S, C) —
         the current frame's temporal K/V for cache commit.
         """
         B, S, C = x_BSC.shape
-        T = cache_k.shape[2]
+        T = cache_k.shape[0]
         H = self.num_heads
         D = self.d_model // H
 
@@ -171,15 +172,15 @@ class STBlock(nn.Module):
 
         # Temporal: one query position against cache + self. The softmax over
         # [cache slots < t, current token] is computed in two pieces so the
-        # (B, S, T, H, D) cache is never copied into a concatenated buffer —
+        # (T, B, S, H, D) cache is never copied into a concatenated buffer —
         # at GENIE_138M decode shapes that concat alone moves ~8.6 GB of HBM
         # per call; this form only *reads* the cache (k for logits, v for PV).
         x_q = x[:, :, None, :]  # (B, S, 1, C)
         q, k_cur, v_cur = self.temporal_attn.compute_qkv(x_q)  # (B,S,1,H,D)
         scale = self.temporal_attn.scale
         q_bshd = q[:, :, 0]  # (B, S, H, D)
-        k_c = cache_k.reshape(B, S, T, H, D)
-        logits_c = jnp.einsum("bshd,bskhd->bshk", q_bshd, k_c,
+        k_c = cache_k.reshape(T, B, S, H, D)
+        logits_c = jnp.einsum("bshd,kbshd->bshk", q_bshd, k_c,
                               preferred_element_type=jnp.float32) * scale
         logit_s = jnp.einsum("bshd,bshd->bsh", q_bshd, k_cur[:, :, 0],
                              preferred_element_type=jnp.float32) * scale
@@ -193,8 +194,8 @@ class STBlock(nn.Module):
         e_s = jnp.exp(logit_s - m)
         denom = jnp.sum(e_c, axis=-1) + e_s  # (B,S,H)
         p_c = (e_c / denom[..., None]).astype(cache_v.dtype)
-        v_c = cache_v.reshape(B, S, T, H, D)
-        out = jnp.einsum("bshk,bskhd->bshd", p_c, v_c,
+        v_c = cache_v.reshape(T, B, S, H, D)
+        out = jnp.einsum("bshk,kbshd->bshd", p_c, v_c,
                          preferred_element_type=jnp.float32)
         out = out + (e_s / denom)[..., None] * v_cur[:, :, 0]
         out = out.astype(x.dtype).reshape(B, S, 1, H, D)
@@ -203,7 +204,7 @@ class STBlock(nn.Module):
         # MLP
         h = self._n2(x).astype(self.dtype)
         x = x + self.mlp(h)
-        return x, k_cur.reshape(B, S, 1, C), v_cur.reshape(B, S, 1, C)
+        return x, k_cur.reshape(B, S, C), v_cur.reshape(B, S, C)
 
 
 class _STBlockScanBody(STBlock):
@@ -244,8 +245,23 @@ class STTransformerDecoder(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
     remat: bool = False
+    remat_policy: str = "none"
     scan_layers: bool = True
     deterministic: bool = True
+
+    def _remat(self, target):
+        """jax.checkpoint with the configured save policy. "dots" keeps
+        matmul outputs resident (recompute only elementwise/softmax on the
+        backward pass) — less recompute than full remat for ~the activation
+        memory of the matmul outputs."""
+        policies = {
+            "none": None,
+            "dots": jax.checkpoint_policies.checkpoint_dots,
+            "dots_no_batch":
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        }
+        return nn.remat(target, prevent_cse=False,
+                        policy=policies[self.remat_policy])
 
     def _block_kwargs(self):
         return dict(
@@ -260,7 +276,7 @@ class STTransformerDecoder(nn.Module):
     def _scan_stack(self, mode: str):
         body = _STBlockScanBody
         if self.remat and mode == "forward":
-            body = nn.remat(body, prevent_cse=False)
+            body = self._remat(body)
         # Decode unrolls the layer loop: with static layer indices XLA fuses
         # each layer's KV-cache slice into its attention consumers instead of
         # materializing a per-iteration dynamic-slice copy (measured ~60% of
@@ -271,6 +287,8 @@ class STTransformerDecoder(nn.Module):
             split_rngs={"params": True, "dropout": True},
             length=self.num_layers,
             unroll=self.num_layers if mode == "decode" else 1,
+            # decode xs = the T-major (T, L, B, S, C) caches: layer axis is 1
+            in_axes=1 if mode == "decode" else 0,
             metadata_params={nn.PARTITION_NAME: None},
         )(**self._block_kwargs(), mode=mode, name="layers")
 
@@ -290,7 +308,7 @@ class STTransformerDecoder(nn.Module):
             for i in range(self.num_layers):
                 block = STBlock
                 if self.remat:
-                    block = nn.remat(block, prevent_cse=False)
+                    block = self._remat(block)
                 x = block(**self._block_kwargs(), name=f"layers_{i}")(x)
             return x
         ks, vs = [], []
@@ -299,7 +317,8 @@ class STTransformerDecoder(nn.Module):
             if mode == "prefill":
                 x, (k, v) = block.prefill(x)
             else:
-                x, k, v = block.decode_step(x, cache_k[i], cache_v[i], t_B)
+                x, k, v = block.decode_step(x, cache_k[:, i], cache_v[:, i],
+                                            t_B)
             ks.append(k)
             vs.append(v)
         return x, (jnp.stack(ks), jnp.stack(vs))
@@ -315,8 +334,8 @@ class STTransformerDecoder(nn.Module):
         return self._run("prefill", x_BTSC)
 
     def decode_step(self, x_BSC, cache_k, cache_v, t_B):
-        """Single-frame decode against per-layer caches (L, B, S, T, C).
+        """Single-frame decode against the T-major caches (T, L, B, S, C).
 
-        Returns (y_BSC, (k_cur, v_cur)) with k_cur/v_cur (L, B, S, 1, C).
+        Returns (y_BSC, (k_cur, v_cur)) with k_cur/v_cur (L, B, S, C).
         """
         return self._run("decode", x_BSC, cache_k, cache_v, t_B)

@@ -12,7 +12,8 @@ the bf16 cache block directly into VMEM, converts in-registers, and fuses
 logits -> mask -> joint softmax (cache slots + current token) -> PV into one
 pass — HBM traffic is exactly one read of K and V.
 
-The kernel indexes the *stacked* (L, B, S, T, C) cache with a static
+The kernel indexes the *stacked* (T, L, B, S, C) cache (T-major so the
+sampler's per-frame commit is a contiguous slab write) with a static
 `layer` in its BlockSpec index_map, so the serving loop (tpu1x/serving.py)
 never slices the cache at the XLA level at all.
 
@@ -38,17 +39,17 @@ def temporal_decode_attention_reference(q, k_cache_l, v_cache_l, k_cur, v_cur,
                                         t_B, *, scale: float, num_heads: int):
     """jnp oracle. Args:
         q, k_cur, v_cur: (B, S, C) — current frame's projections, heads flat.
-        k_cache_l, v_cache_l: (B, S, T, C) — one layer's cache.
+        k_cache_l, v_cache_l: (T, B, S, C) — one layer's cache (T-major).
         t_B: (B,) int32; cache slots >= t are masked out.
     Returns: (B, S, C) attention output in q.dtype.
     """
     B, S, C = q.shape
-    T = k_cache_l.shape[2]
+    T = k_cache_l.shape[0]
     H = num_heads
     D = C // H
-    qf = q.astype(jnp.float32).reshape(B, S, 1, H, D)
-    kf = k_cache_l.astype(jnp.float32).reshape(B, S, T, H, D)
-    logits = (qf * kf).sum(-1) * scale  # (B, S, T, H)
+    qf = q.astype(jnp.float32).reshape(1, B, S, H, D)
+    kf = k_cache_l.astype(jnp.float32).reshape(T, B, S, H, D)
+    logits = jnp.moveaxis((qf * kf).sum(-1), 0, 2) * scale  # (B, S, T, H)
     logit_s = (q.astype(jnp.float32) * k_cur.astype(jnp.float32)) \
         .reshape(B, S, H, D).sum(-1) * scale  # (B, S, H)
     t_iota = jnp.arange(T, dtype=jnp.int32)
@@ -58,9 +59,9 @@ def temporal_decode_attention_reference(q, k_cache_l, v_cache_l, k_cur, v_cur,
     e_c = jnp.exp(logits - m[:, :, None, :])
     e_s = jnp.exp(logit_s - m)
     denom = e_c.sum(axis=2) + e_s  # (B, S, H)
-    p = e_c / denom[:, :, None, :]
-    vf = v_cache_l.astype(jnp.float32).reshape(B, S, T, H, D)
-    out = (p[..., None] * vf).sum(axis=2)  # (B, S, H, D)
+    p = e_c / denom[:, :, None, :]  # (B, S, T, H)
+    vf = v_cache_l.astype(jnp.float32).reshape(T, B, S, H, D)
+    out = (jnp.moveaxis(p, 2, 0)[..., None] * vf).sum(axis=0)  # (B, S, H, D)
     out = out + ((e_s / denom)[..., None]
                  * v_cur.astype(jnp.float32).reshape(B, S, H, D))
     return out.reshape(B, S, C).astype(q.dtype)
@@ -77,9 +78,9 @@ def _kernel(t_ref, q_ref, kc_ref, vc_ref, kcur_ref, vcur_ref, o_ref, *,
     q = q_ref[0]                              # (TS, C) bf16
     kcur = kcur_ref[0]
     vcur = vcur_ref[0]
-    k = kc_ref[0, 0]                          # (TS, T, C) bf16
-    v = vc_ref[0, 0]
-    TS, T, C = k.shape
+    k = kc_ref[:, 0, 0]                       # (T, TS, C) bf16 (T-major)
+    v = vc_ref[:, 0, 0]
+    T, TS, C = k.shape
     H = num_heads
     D = C // H
     E = (jax.lax.broadcasted_iota(jnp.int32, (C, H), 0) // D
@@ -87,24 +88,24 @@ def _kernel(t_ref, q_ref, kc_ref, vc_ref, kcur_ref, vcur_ref, o_ref, *,
 
     # Per-head q.k reductions as MXU dots against the head-assignment
     # matrix: products stay bf16 (VPU) and accumulate fp32 on the MXU.
-    prod = k * q[:, None, :]                  # (TS, T, C) bf16
-    logits = jnp.dot(prod.reshape(TS * T, C), E,
+    prod = k * q[None, :, :]                  # (T, TS, C) bf16
+    logits = jnp.dot(prod.reshape(T * TS, C), E,
                      preferred_element_type=jnp.float32)
-    logits = logits.reshape(TS, T, H) * scale
+    logits = logits.reshape(T, TS, H) * scale
     logit_s = jnp.dot(q * kcur, E,
                       preferred_element_type=jnp.float32) * scale  # (TS, H)
-    t_iota = jax.lax.broadcasted_iota(jnp.int32, (TS, T, H), 1)
-    logits = jnp.where(t_iota < tb, logits, _NEG_INF)  # (TS, T, H)
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (T, TS, H), 0)
+    logits = jnp.where(t_iota < tb, logits, _NEG_INF)  # (T, TS, H)
 
-    m = jnp.maximum(jnp.max(logits, axis=1), logit_s)  # (TS, H)
-    e_c = jnp.exp(logits - m[:, None, :])
+    m = jnp.maximum(jnp.max(logits, axis=0), logit_s)  # (TS, H)
+    e_c = jnp.exp(logits - m[None, :, :])
     e_s = jnp.exp(logit_s - m)
-    denom = e_c.sum(axis=1) + e_s  # (TS, H)
-    p = (e_c / denom[:, None, :]).astype(v.dtype)  # (TS, T, H)
-    p_exp = jnp.dot(p.reshape(TS * T, H), E.T,
+    denom = e_c.sum(axis=0) + e_s  # (TS, H)
+    p = (e_c / denom[None, :, :]).astype(v.dtype)  # (T, TS, H)
+    p_exp = jnp.dot(p.reshape(T * TS, H), E.T,
                     preferred_element_type=jnp.float32
-                    ).astype(v.dtype).reshape(TS, T, C)
-    acc = (p_exp * v).astype(jnp.float32).sum(axis=1)  # (TS, C)
+                    ).astype(v.dtype).reshape(T, TS, C)
+    acc = (p_exp * v).astype(jnp.float32).sum(axis=0)  # (TS, C)
     ps_exp = jnp.dot((e_s / denom).astype(v.dtype), E.T,
                      preferred_element_type=jnp.float32)
     out = acc + ps_exp * vcur.astype(jnp.float32)
@@ -121,13 +122,13 @@ def temporal_decode_attention(q, k_cache, v_cache, k_cur, v_cur, t_B, *,
 
     Args:
         q, k_cur, v_cur: (B, S, C).
-        k_cache, v_cache: (L, B, S, T, C) — the FULL stacked cache; only the
-            blocks of `layer` are streamed from HBM.
+        k_cache, v_cache: (T, L, B, S, C) — the FULL stacked T-major cache;
+            only the blocks of `layer` are streamed from HBM.
         t_B: (B,) int32 per-row frame index.
     Returns: (B, S, C) in q.dtype.
     """
     B, S, C = q.shape
-    L, _, _, T, _ = k_cache.shape
+    T, L = k_cache.shape[:2]
     assert 0 <= layer < L, (layer, L)
     while S % tile_s:
         tile_s //= 2
@@ -136,7 +137,7 @@ def temporal_decode_attention(q, k_cache, v_cache, k_cur, v_cur, t_B, *,
     bsc = pl.BlockSpec((1, tile_s, C), lambda b, st: (b, st, 0),
                        memory_space=pltpu.VMEM)
     cache_spec = pl.BlockSpec(
-        (1, 1, tile_s, T, C), lambda b, st: (layer, b, st, 0, 0),
+        (T, 1, 1, tile_s, C), lambda b, st: (0, layer, b, st, 0),
         memory_space=pltpu.VMEM)
     grid = (B, S // tile_s)
     bytes_cache = 2 * tile_s * T * C * k_cache.dtype.itemsize

@@ -79,7 +79,7 @@ class DecodeEngine:
     """
 
     def __init__(self, config: GenieConfig, attn_impl: str = "auto",
-                 compute_dtype=None):
+                 compute_dtype=None, prefill_attn_impl: str = None):
         self.config = config
         self.dtype = (jnp.dtype(config.dtype) if compute_dtype is None
                       else jnp.dtype(compute_dtype))
@@ -88,6 +88,12 @@ class DecodeEngine:
                          else "xla")
         assert attn_impl in ("pallas", "xla"), attn_impl
         self.attn_impl = attn_impl
+        # prefill's bidirectional spatial attention is a separate choice from
+        # the decode kernel: XLA's fused attention beats the flash kernel at
+        # prefill shapes (S=256, head_dim 32-64; measured 830 -> 795 ms per
+        # GENIE_138M b16 rollout batch, benchmarks/profile_gen.py), while the
+        # fused cache-streaming kernel wins decode (957 vs 1274 ms).
+        self.prefill_attn_impl = prefill_attn_impl or "xla"
         cfg = config
         self.head_dim = cfg.d_model // cfg.num_heads
         self.scale = (8.0 / self.head_dim if cfg.use_mup
@@ -154,7 +160,7 @@ class DecodeEngine:
                 scale=self.scale, num_heads=self.config.num_heads)
         else:
             out = temporal_decode_attention_reference(
-                q, k_cache[layer], v_cache[layer], k_cur, v_cur, t_B,
+                q, k_cache[:, layer], v_cache[:, layer], k_cur, v_cur, t_B,
                 scale=self.scale, num_heads=self.config.num_heads)
         out = self._dense(out, p["proj"]["kernel"], p["proj"].get("bias"))
         return out, k_cur, v_cur
@@ -211,7 +217,9 @@ class DecodeEngine:
         per-layer KV slices + fp32 copies (measured ~30% of rollout wall,
         benchmarks/profile_gen.py) that this path never creates.
 
-        Returns cache {"k","v"}: (L, B, S, T, C), slots >= P zero-padded.
+        Returns cache {"k","v"}: (T, L, B, S, C), slots >= P zero-padded
+        (T-major: the per-frame commit is a contiguous slab write —
+        see STMaskGIT.prefill).
         """
         cfg = self.config
         p = params
@@ -229,14 +237,16 @@ class DecodeEngine:
         ks, vs = [], []
         for layer in range(cfg.num_layers):
             layer_p = jax.tree_util.tree_map(lambda a: a[layer], lp)
-            x, k, v = self._prefill_layer(layer_p, x)
+            x, k, v = self._prefill_layer(layer_p, x)  # k/v (B, S, P, C)
             ks.append(k)
             vs.append(v)
-        k = jnp.stack(ks)  # (L, B, S, P, C)
-        v = jnp.stack(vs)
+        k = jnp.stack(ks, axis=2)  # (B, S, L, P, C)
+        v = jnp.stack(vs, axis=2)
+        k = jnp.transpose(k, (3, 2, 0, 1, 4))  # (P, L, B, S, C)
+        v = jnp.transpose(v, (3, 2, 0, 1, 4))
         pad = cfg.T - P
         if pad > 0:
-            widths = [(0, 0), (0, 0), (0, 0), (0, pad), (0, 0)]
+            widths = [(0, pad), (0, 0), (0, 0), (0, 0), (0, 0)]
             k = jnp.pad(k, widths)
             v = jnp.pad(v, widths)
         return {"k": k, "v": v}
@@ -260,7 +270,7 @@ class DecodeEngine:
         # spatial (bidirectional over S, (B, P) batch-like)
         h = n1(x_BPSC)
         q, k, v = self._qkv(lp["spatial_attn"], h.reshape(B * P, S, C))
-        out = self._mha(q, k, v, causal=False)
+        out = self._mha(q, k, v, causal=False, impl=self.prefill_attn_impl)
         out = self._dense(out, lp["spatial_attn"]["proj"]["kernel"],
                           lp["spatial_attn"]["proj"].get("bias"))
         x = x_BPSC + out.reshape(B, P, S, C)
@@ -287,7 +297,7 @@ class DecodeEngine:
 
         Args:
             params: scan-layout pytree, ideally via `prepare_serving_params`.
-        Returns (logits (B, S, V, F) float32, kv_cur each (L, B, S, 1, C)).
+        Returns (logits (B, S, V, F) float32, kv_cur each (1, L, B, S, C)).
         """
         cfg = self.config
         p = params
@@ -320,8 +330,8 @@ class DecodeEngine:
                          head["kernel"].astype(jnp.float32)) + head["bias"]
         logits = logits.reshape(B, S, cfg.num_factored_vocabs,
                                 cfg.factored_vocab_size).swapaxes(-1, -2)
-        k_cur = jnp.stack(k_curs)[:, :, :, None, :]  # (L, B, S, 1, C)
-        v_cur = jnp.stack(v_curs)[:, :, :, None, :]
+        k_cur = jnp.stack(k_curs)[None]  # (1, L, B, S, C)
+        v_cur = jnp.stack(v_curs)[None]
         return logits, (k_cur, v_cur)
 
     def __call__(self, params, frame_tokens_BS, t_B, cache, action_B=None):

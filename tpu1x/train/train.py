@@ -53,6 +53,11 @@ def parse_args(argv=None):
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--gradient_checkpointing", action="store_true",
                    help="force remat on (default follows config.remat)")
+    p.add_argument("--remat_policy", type=str, default=None,
+                   choices=["none", "dots", "dots_no_batch"],
+                   help="what per-block remat saves (default from config): "
+                        "'dots' keeps matmul outputs, recomputing only "
+                        "elementwise ops on backward")
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument("--num_train_epochs", type=int, default=1)
@@ -154,6 +159,8 @@ def main(argv=None):
     config.attn_drop = args.attention_dropout
     if args.gradient_checkpointing:
         config.remat = True
+    if args.remat_policy is not None:
+        config.remat_policy = args.remat_policy
     config.__post_init__()
 
     model = STMaskGIT(config)
