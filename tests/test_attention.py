@@ -32,6 +32,34 @@ def test_flash_vs_reference(causal, n, heads, d):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_gradients_vs_reference(causal):
+    """The custom VJP (probability-recompute backward) must match the
+    autodiff gradients of the jnp oracle — makes attn_impl=pallas trainable
+    (found by benchmarks/attn_bench.py: the kernel had no VJP)."""
+    rng = jax.random.PRNGKey(2)
+    kq, kk, kv = jax.random.split(rng, 3)
+    shape = (2, 32, 4, 16)
+    q = jax.random.normal(kq, shape, dtype=jnp.float32)
+    k = jax.random.normal(kk, shape, dtype=jnp.float32)
+    v = jax.random.normal(kv, shape, dtype=jnp.float32)
+    scale = 0.25
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(mha_reference(q, k, v, scale=scale,
+                                             causal=causal)))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.sin(flash_mha(q, k, v, scale=scale, causal=causal,
+                                         interpret=INTERPRET)))
+
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=2e-4, rtol=2e-4)
+
+
 def test_flash_bf16(causal=True):
     rng = jax.random.PRNGKey(1)
     shape = (2, 5, 32, 2, 16)  # extra leading batch dims

@@ -79,9 +79,49 @@ def _flash_mha_bhnd(q, k, v, *, scale: float, causal: bool,
     )(q, k, v)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _flash_mha_diff(scale, causal, interpret, q, k, v):
+    return _flash_mha_bhnd(q, k, v, scale=scale, causal=causal,
+                           interpret=interpret)
+
+
+def _recompute_probs(scale, causal, q, k):
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * scale
+    if causal:
+        n = logits.shape[-1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        logits = jnp.where(row >= row.T, logits, _NEG_INF)
+    return jax.nn.softmax(logits, axis=-1)  # fp32 (B, H, N, N)
+
+
+def _flash_mha_fwd(scale, causal, interpret, q, k, v):
+    return _flash_mha_diff(scale, causal, interpret, q, k, v), (q, k, v)
+
+
+def _flash_mha_bwd(scale, causal, interpret, res, dout):
+    """Flash-style backward: recompute probabilities (the forward saves no
+    (N, N) tensor), then the standard attention VJP. Pure jnp — XLA fuses it
+    well at ST sizes; the forward kernel's memory win is preserved under
+    remat (the block is recomputed anyway)."""
+    q, k, v = res
+    p = _recompute_probs(scale, causal, q, k)  # (B, H, N, N) fp32
+    doutf = dout.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, doutf)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", doutf, v.astype(jnp.float32))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_flash_mha_diff.defvjp(_flash_mha_fwd, _flash_mha_bwd)
+
+
 def flash_mha(q, k, v, *, scale: float, causal: bool = False,
               interpret: bool = False):
-    """Fused MHA matching `mha_reference`'s contract.
+    """Fused MHA matching `mha_reference`'s contract; differentiable
+    (custom VJP with probability recompute, flash-style).
 
     Args:
         q, k, v: (..., N, num_heads, head_dim); arbitrary leading batch dims.
@@ -95,6 +135,6 @@ def flash_mha(q, k, v, *, scale: float, causal: bool = False,
     def to_bhnd(x):
         return x.reshape(bsz, N, H, D).transpose(0, 2, 1, 3)
 
-    out = _flash_mha_bhnd(to_bhnd(q), to_bhnd(k), to_bhnd(v), scale=scale,
-                          causal=causal, interpret=interpret)
+    out = _flash_mha_diff(scale, causal, interpret, to_bhnd(q), to_bhnd(k),
+                          to_bhnd(v))
     return out.transpose(0, 2, 1, 3).reshape(*batch, N, H, D)
