@@ -35,7 +35,7 @@ def main():
     import functools
 
     from tpu1x.model_zoo import genie_138m
-    from tpu1x.models.sampler import generate_cached
+    from tpu1x.models.sampler import generate_cached_fused
     from tpu1x.models.st_maskgit import STMaskGIT
     from tpu1x.serving import DecodeEngine, prepare_serving_params
 
@@ -63,10 +63,14 @@ def main():
     # weights into the program as constants and explode compile time.
     @jax.jit
     def gen(sparams, prompt, rng):
-        prefill_fn = functools.partial(engine.prefill, sparams)
-        decode_fn = functools.partial(engine.decode_frame, sparams)
-        return generate_cached(prefill_fn, decode_fn, prompt, num_new, rng,
-                               config, maskgit_steps=maskgit_steps)
+        # fused-commit rollout: the cache-commit pass rides along with the
+        # next frame's step-0 decode (token-exact vs generate_cached,
+        # tests/test_serving.py)
+        return generate_cached_fused(
+            functools.partial(engine.prefill, sparams),
+            functools.partial(engine.decode_frame, sparams),
+            functools.partial(engine.decode_frame_pair, sparams),
+            prompt, num_new, rng, config, maskgit_steps=maskgit_steps)
 
     # warmup / compile. NOTE: timing uses device_get, not block_until_ready —
     # the latter returns early on the tunneled axon backend.

@@ -197,6 +197,102 @@ def test_engine_rollout_exact_tokens_trained():
                                   np.asarray(tokens_ref))
 
 
+def test_fused_commit_rollout_token_exact():
+    """generate_cached_fused (commit pass fused into the next frame's step-0
+    decode) must produce token-identical greedy rollouts vs generate_cached,
+    including the step-0 logits (trained weights so argmax is stable)."""
+    from tpu1x.models.sampler import generate_cached_fused
+    from tpu1x.train.optim import build_optimizer
+    from tpu1x.train.step import create_train_state, make_train_step
+
+    cfg, model, params = setup_model()
+    tx = build_optimizer(cfg, learning_rate=1e-2, num_training_steps=1000,
+                         lr_scheduler_type="constant")
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), cfg)
+    step = make_train_step(model, tx, cfg, donate=False)
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (2, cfg.T, 4, 4), 0,
+                                cfg.image_vocab_size, dtype=jnp.int32)
+    for _ in range(100):
+        state, metrics = step(state, tokens)
+    assert float(metrics["loss"]) < 4.0
+
+    sparams = prepare_serving_params(state.params)
+    engine = DecodeEngine(cfg, attn_impl="xla")
+    prompt = tokens[:, :2].reshape(2, -1)
+    kwargs = dict(input_ids_BN=prompt, num_new_frames=cfg.T - 2,
+                  rng=jax.random.PRNGKey(7), config=cfg, maskgit_steps=2,
+                  temperature=0.0, unmask_mode="greedy")
+
+    tokens_std, logits_std = generate_cached(
+        functools.partial(engine.prefill, sparams),
+        functools.partial(engine.decode_frame, sparams), **kwargs)
+    tokens_fused, logits_fused = generate_cached_fused(
+        functools.partial(engine.prefill, sparams),
+        functools.partial(engine.decode_frame, sparams),
+        functools.partial(engine.decode_frame_pair, sparams), **kwargs)
+
+    np.testing.assert_array_equal(np.asarray(tokens_fused),
+                                  np.asarray(tokens_std))
+    np.testing.assert_allclose(np.asarray(logits_fused),
+                               np.asarray(logits_std), atol=2e-2, rtol=2e-2)
+
+
+def test_fused_commit_rollout_with_actions():
+    """Fused path parity with action conditioning."""
+    from tpu1x.models.sampler import generate_cached_fused
+
+    cfg, model, params = setup_model(action_vocab_size=7)
+    sparams = prepare_serving_params(params)
+    engine = DecodeEngine(cfg, attn_impl="xla")
+    prompt = jax.random.randint(jax.random.PRNGKey(3), (2, 2 * cfg.S), 0,
+                                cfg.image_vocab_size, dtype=jnp.int32)
+    actions = jax.random.randint(jax.random.PRNGKey(4), (2, cfg.T), 0, 7,
+                                 dtype=jnp.int32)
+    kwargs = dict(input_ids_BN=prompt, num_new_frames=cfg.T - 2,
+                  rng=jax.random.PRNGKey(7), config=cfg, maskgit_steps=2,
+                  temperature=0.0, unmask_mode="greedy", actions_BT=actions)
+
+    tokens_std, logits_std = generate_cached(
+        functools.partial(engine.prefill, sparams),
+        functools.partial(engine.decode_frame, sparams), **kwargs)
+    tokens_fused, logits_fused = generate_cached_fused(
+        functools.partial(engine.prefill, sparams),
+        functools.partial(engine.decode_frame, sparams),
+        functools.partial(engine.decode_frame_pair, sparams), **kwargs)
+    # random-init logits: allow close logits; token agreement must be high
+    np.testing.assert_allclose(np.asarray(logits_fused),
+                               np.asarray(logits_std), atol=2e-2, rtol=2e-2)
+    agree = (np.asarray(tokens_fused) == np.asarray(tokens_std)).mean()
+    assert agree >= 0.9, agree
+
+
+def test_pallas_decode2_kernel_parity_interpret():
+    """Fused prev-commit + next-frame decode kernel vs its jnp oracle."""
+    from tpu1x.ops.decode_attention import (
+        temporal_decode2_attention, temporal_decode2_attention_reference)
+    L, B, S, T, C, H = 3, 4, 32, 5, 64, 4
+    ks = jax.random.split(jax.random.PRNGKey(5), 9)
+    mk = lambda i, *shape: jax.random.normal(ks[i], shape, jnp.bfloat16)
+    qp, qc = mk(0, B, S, C), mk(1, B, S, C)
+    kc, vc = mk(2, T, L, B, S, C), mk(3, T, L, B, S, C)
+    kp, vp = mk(4, B, S, C), mk(5, B, S, C)
+    kcur, vcur = mk(6, B, S, C), mk(7, B, S, C)
+    tB = jnp.array([1, 2, 3, 4], jnp.int32)  # t_prev per row
+    for layer in (0, 2):
+        want_p, want_c = temporal_decode2_attention_reference(
+            qp, qc, kc[:, layer], vc[:, layer], kp, vp, kcur, vcur, tB,
+            scale=0.25, num_heads=H)
+        got_p, got_c = temporal_decode2_attention(
+            qp, qc, kc, vc, kp, vp, kcur, vcur, tB, layer=layer, scale=0.25,
+            num_heads=H, tile_s=16, interpret=True)
+        np.testing.assert_allclose(np.asarray(got_p, np.float32),
+                                   np.asarray(want_p, np.float32),
+                                   atol=2e-2, rtol=2e-2)
+        np.testing.assert_allclose(np.asarray(got_c, np.float32),
+                                   np.asarray(want_c, np.float32),
+                                   atol=2e-2, rtol=2e-2)
+
+
 def test_pallas_decode_kernel_parity_interpret():
     """Pallas kernel vs jnp oracle in interpreter mode (CPU)."""
     from tpu1x.ops.decode_attention import (

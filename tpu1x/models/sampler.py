@@ -220,6 +220,118 @@ def generate_cached(
     return tokens, factored_logits
 
 
+def generate_cached_fused(
+    prefill_fn,
+    decode_fn,
+    decode_pair_fn,
+    input_ids_BN: jnp.ndarray,
+    num_new_frames: int,
+    rng: jax.Array,
+    config: GenieConfig,
+    maskgit_steps: int = 2,
+    temperature: float = 0.0,
+    unmask_mode: str = "random",
+    actions_BT=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """`generate_cached` with the commit pass FUSED into the next frame's
+    step-0 decode (tpu1x/serving.py decode_frame_pair): per frame the cache
+    streams from HBM maskgit_steps times instead of maskgit_steps+1, and the
+    final frame's commit is skipped entirely (nothing reads it). Token-exact
+    vs `generate_cached` given the same rng (tests/test_serving.py).
+
+    Args:
+        decode_pair_fn: (prev_BS, cur_BS, t_prev_B, cache[, action_prev,
+            action_cur]) -> (logits_cur (B,S,V,F), kv_prev) — the serving
+            engine's fused pass.
+    """
+    from tpu1x.models.st_maskgit import update_cache
+
+    h = w = config.latent_side_len
+    S = config.S
+    V = config.factored_vocab_size
+    B = input_ids_BN.shape[0]
+    num_prompt = input_ids_BN.shape[1] // S
+    T = num_prompt + num_new_frames
+    assert T == config.T, (T, config.T)
+    assert num_new_frames >= 1
+    n_per_step = [math.ceil(cosine_schedule((s + 1) / maskgit_steps) * S)
+                  for s in range(maskgit_steps - 1)]
+
+    prompt_BPHW = input_ids_BN.reshape(B, num_prompt, h, w).astype(jnp.int32)
+    if actions_BT is None:
+        cache = prefill_fn(prompt_BPHW)
+    else:
+        cache = prefill_fn(prompt_BPHW, actions_BT[:, :num_prompt])
+
+    def act(t):
+        if actions_BT is None:
+            return None
+        return jnp.take_along_axis(actions_BT,
+                                   jnp.broadcast_to(t, (B,))[:, None],
+                                   axis=1)[:, 0]
+
+    def to_ref_layout(logits_BSVF):
+        return jnp.moveaxis(logits_BSVF, 1, -1).reshape(
+            B, V, logits_BSVF.shape[-1], h, w)
+
+    def sample_frame(cache, frame, logits0, t, sub):
+        """Run the maskgit steps for frame t given its step-0 logits."""
+        unmasked = jnp.zeros((B, S), dtype=bool)
+        sub, s0 = jax.random.split(sub)
+        frame, unmasked = _frame_update(frame, unmasked, logits0, 0,
+                                        maskgit_steps, n_per_step, s0, config,
+                                        temperature, unmask_mode)
+        t_B = jnp.broadcast_to(t, (B,))
+        a = act(t)
+        dec = decode_fn if a is None else partial(decode_fn, action_B=a)
+        for step in range(1, maskgit_steps):
+            logits, _ = dec(frame, t_B, cache)
+            sub, si = jax.random.split(sub)
+            frame, unmasked = _frame_update(frame, unmasked, logits, step,
+                                            maskgit_steps, n_per_step, si,
+                                            config, temperature, unmask_mode)
+        return frame
+
+    # first generated frame: standard step-0 decode (its predecessor's K/V
+    # came from the prefill), no commit of its own yet
+    t0 = jnp.asarray(num_prompt, jnp.int32)
+    rng, sub0 = jax.random.split(rng)
+    masked = jnp.full((B, S), config.mask_token_id, dtype=jnp.int32)
+    a0 = act(t0)
+    dec0 = decode_fn if a0 is None else partial(decode_fn, action_B=a0)
+    logits0, _ = dec0(masked, jnp.broadcast_to(t0, (B,)), cache)
+    frame0 = sample_frame(cache, masked, logits0, t0, sub0)
+    orig0 = to_ref_layout(logits0)
+
+    def frame_step(carry, t):
+        cache, prev, rng = carry
+        rng, sub = jax.random.split(rng)
+        ap, ac = act(t - 1), act(t)
+        pair = decode_pair_fn
+        if ac is not None:
+            pair = partial(pair, action_prev=ap, action_cur=ac)
+        logits0, kv_prev = pair(prev, masked,
+                                jnp.broadcast_to(t - 1, (B,)), cache)
+        cache = update_cache(cache, kv_prev, t - 1)
+        frame = sample_frame(cache, masked, logits0, t, sub)
+        return (cache, frame, rng), (frame, to_ref_layout(logits0))
+
+    if num_new_frames > 1:
+        timesteps = jnp.arange(num_prompt + 1, T, dtype=jnp.int32)
+        (_, _, _), (frames, logit_frames) = jax.lax.scan(
+            frame_step, (cache, frame0, rng), timesteps)
+        frames = jnp.concatenate([frame0[None], frames], axis=0)
+        logit_frames = jnp.concatenate([orig0[None], logit_frames], axis=0)
+    else:
+        frames = frame0[None]
+        logit_frames = orig0[None]
+
+    frames = jnp.moveaxis(frames, 0, 1).reshape(B, num_new_frames * S)
+    tokens = jnp.concatenate([input_ids_BN.astype(jnp.int32), frames], axis=1)
+    factored_logits = jnp.moveaxis(logit_frames, 0, 3)
+    return tokens, factored_logits
+
+
 def maskgit_generate(
     logits_fn: LogitsFn,
     prompt_BTHW: jnp.ndarray,

@@ -112,6 +112,160 @@ def _kernel(t_ref, q_ref, kc_ref, vc_ref, kcur_ref, vcur_ref, o_ref, *,
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+def temporal_decode2_attention_reference(q_prev, q_cur, k_cache_l, v_cache_l,
+                                         k_prev, v_prev, k_cur, v_cur,
+                                         t_prev_B, *, scale: float,
+                                         num_heads: int):
+    """jnp oracle for the fused prev-commit + next-frame decode attention.
+
+    One pass serves TWO query frames against the same cache read:
+    - `prev` (frame t_prev, finalized tokens): attends cache slots < t_prev
+      plus itself — the standard decode; its K/V (k_prev/v_prev) are what
+      the caller commits to the cache.
+    - `cur` (frame t_prev+1, masked tokens): attends cache slots < t_prev,
+      plus prev's in-pass K/V (slot t_prev), plus itself.
+
+    All of q_*, k_*, v_*: (B, S, C); caches (T, B, S, C). Returns
+    (out_prev, out_cur) each (B, S, C).
+    """
+    out_prev = temporal_decode_attention_reference(
+        q_prev, k_cache_l, v_cache_l, k_prev, v_prev, t_prev_B, scale=scale,
+        num_heads=num_heads)
+    # cur: treat prev as one extra unmasked slot by substituting it into the
+    # cache at position t_prev, then mask < t_prev + 1
+    cache_k2 = _with_slot(k_cache_l, k_prev, t_prev_B)
+    cache_v2 = _with_slot(v_cache_l, v_prev, t_prev_B)
+    out_cur = temporal_decode_attention_reference(
+        q_cur, cache_k2, cache_v2, k_cur, v_cur, t_prev_B + 1, scale=scale,
+        num_heads=num_heads)
+    return out_prev, out_cur
+
+
+def _with_slot(cache_l, x_BSC, t_B):
+    """Write x into per-row slot t of a (T, B, S, C) per-layer cache."""
+    T = cache_l.shape[0]
+    t_iota = jnp.arange(T, dtype=jnp.int32)
+    sel = (t_iota[:, None] == t_B[None, :])[:, :, None, None]
+    return jnp.where(sel, x_BSC[None], cache_l)
+
+
+def _kernel2(t_ref, qp_ref, qc_ref, kc_ref, vc_ref, kp_ref, vp_ref,
+             kcur_ref, vcur_ref, op_ref, oc_ref, *, scale: float,
+             num_heads: int):
+    """Fused two-frame decode attention: one cache read serves both the
+    prev-frame commit pass and the next frame's step-0 decode."""
+    b = pl.program_id(0)
+    tb = t_ref[0, b]  # t_prev
+    qp = qp_ref[0]                            # (TS, C) bf16
+    qc = qc_ref[0]
+    kp = kp_ref[0]
+    vp = vp_ref[0]
+    kcur = kcur_ref[0]
+    vcur = vcur_ref[0]
+    k = kc_ref[:, 0, 0]                       # (T, TS, C) bf16 (T-major)
+    v = vc_ref[:, 0, 0]
+    T, TS, C = k.shape
+    H = num_heads
+    D = C // H
+    E = (jax.lax.broadcasted_iota(jnp.int32, (C, H), 0) // D
+         == jax.lax.broadcasted_iota(jnp.int32, (C, H), 1)).astype(k.dtype)
+
+    def head_logits(q):  # cache logits (T, TS, H) fp32
+        prod = k * q[None, :, :]
+        out = jnp.dot(prod.reshape(T * TS, C), E,
+                      preferred_element_type=jnp.float32)
+        return out.reshape(T, TS, H) * scale
+
+    def extra_logit(q, key):  # (TS, H)
+        return jnp.dot(q * key, E,
+                       preferred_element_type=jnp.float32) * scale
+
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (T, TS, H), 0)
+
+    def softmax_pv(logits_c, extras):
+        """Joint softmax over cache slots + extra (key, value) pairs."""
+        m = jnp.max(logits_c, axis=0)  # (TS, H)
+        e_x = []
+        for lg, _ in extras:
+            m = jnp.maximum(m, lg)
+        e_c = jnp.exp(logits_c - m[None, :, :])
+        denom = e_c.sum(axis=0)
+        for lg, _ in extras:
+            e = jnp.exp(lg - m)
+            e_x.append(e)
+            denom = denom + e
+        p = (e_c / denom[None, :, :]).astype(v.dtype)  # (T, TS, H)
+        p_exp = jnp.dot(p.reshape(T * TS, H), E.T,
+                        preferred_element_type=jnp.float32
+                        ).astype(v.dtype).reshape(T, TS, C)
+        acc = (p_exp * v).astype(jnp.float32).sum(axis=0)  # (TS, C)
+        for e, (_, val) in zip(e_x, extras):
+            pe = jnp.dot((e / denom).astype(v.dtype), E.T,
+                         preferred_element_type=jnp.float32)
+            acc = acc + pe * val.astype(jnp.float32)
+        return acc
+
+    # prev: cache < t_prev, self = prev
+    lp = jnp.where(t_iota < tb, head_logits(qp), _NEG_INF)
+    op_ref[0] = softmax_pv(
+        lp, [(extra_logit(qp, kp), vp)]).astype(op_ref.dtype)
+    # cur: cache < t_prev, prev's in-pass K/V, self = cur
+    lc = jnp.where(t_iota < tb, head_logits(qc), _NEG_INF)
+    oc_ref[0] = softmax_pv(
+        lc, [(extra_logit(qc, kp), vp),
+             (extra_logit(qc, kcur), vcur)]).astype(oc_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("layer", "scale", "num_heads", "tile_s", "interpret"))
+def temporal_decode2_attention(q_prev, q_cur, k_cache, v_cache, k_prev,
+                               v_prev, k_cur, v_cur, t_prev_B, *, layer: int,
+                               scale: float, num_heads: int, tile_s: int = 64,
+                               interpret: bool = False):
+    """Fused prev-commit + next-frame decode attention against layer `layer`.
+
+    Same cache contract as `temporal_decode_attention` ((T, L, B, S, C),
+    static layer in the index_map) but serves two query frames per cache
+    read — the sampler's commit pass rides along with the next frame's
+    step-0 decode (1 cache stream instead of 2).
+
+    Returns (out_prev, out_cur) each (B, S, C) in q dtype.
+    """
+    B, S, C = q_prev.shape
+    T, L = k_cache.shape[:2]
+    assert 0 <= layer < L, (layer, L)
+    while S % tile_s:
+        tile_s //= 2
+    t2 = t_prev_B.reshape(1, B).astype(jnp.int32)
+
+    bsc = pl.BlockSpec((1, tile_s, C), lambda b, st: (b, st, 0),
+                       memory_space=pltpu.VMEM)
+    cache_spec = pl.BlockSpec(
+        (T, 1, 1, tile_s, C), lambda b, st: (0, layer, b, st, 0),
+        memory_space=pltpu.VMEM)
+    grid = (B, S // tile_s)
+    bytes_cache = 2 * tile_s * T * C * k_cache.dtype.itemsize
+    out_sd = jax.ShapeDtypeStruct((B, S, C), q_prev.dtype)
+    return pl.pallas_call(
+        functools.partial(_kernel2, scale=scale, num_heads=num_heads),
+        out_shape=(out_sd, out_sd),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, B), lambda b, st: (0, 0),
+                         memory_space=pltpu.SMEM),
+            bsc, bsc, cache_spec, cache_spec, bsc, bsc, bsc, bsc,
+        ],
+        out_specs=(bsc, bsc),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * S * (2 * T + 3) * C,
+            bytes_accessed=B * (S // tile_s) * bytes_cache,
+            transcendentals=2 * B * S * (T + 2) * num_heads,
+        ),
+        interpret=interpret,
+    )(t2, q_prev, q_cur, k_cache, v_cache, k_prev, v_prev, k_cur, v_cur)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("layer", "scale", "num_heads", "tile_s", "interpret"))

@@ -103,19 +103,29 @@ class RolloutEngine:
             else:
                 def run(params, tokens_flat, actions, rng):
                     if self._serving is not None:
-                        prefill_fn = functools.partial(
-                            self._serving.prefill, params)
-                        decode_fn = functools.partial(
-                            self._serving.decode_frame, params)
-                    else:
-                        def prefill_fn(t, a=None):
-                            return self.model.apply({"params": params}, t, a,
-                                                    method=STMaskGIT.prefill)
+                        # fused-commit rollout (token-exact vs
+                        # generate_cached, tests/test_serving.py): one cache
+                        # stream serves the commit + next step-0 decode
+                        from tpu1x.models.sampler import generate_cached_fused
+                        return generate_cached_fused(
+                            functools.partial(self._serving.prefill, params),
+                            functools.partial(self._serving.decode_frame,
+                                              params),
+                            functools.partial(self._serving.decode_frame_pair,
+                                              params),
+                            tokens_flat, num_new_frames, rng, cfg,
+                            maskgit_steps=self.maskgit_steps,
+                            temperature=self.temperature,
+                            actions_BT=actions)[0]
 
-                        def decode_fn(f, t, c, action_B=None):
-                            return self.model.apply(
-                                {"params": params}, f, t, c, action_B,
-                                method=STMaskGIT.decode_frame)
+                    def prefill_fn(t, a=None):
+                        return self.model.apply({"params": params}, t, a,
+                                                method=STMaskGIT.prefill)
+
+                    def decode_fn(f, t, c, action_B=None):
+                        return self.model.apply(
+                            {"params": params}, f, t, c, action_B,
+                            method=STMaskGIT.decode_frame)
 
                     return generate_cached(
                         prefill_fn, decode_fn, tokens_flat, num_new_frames,

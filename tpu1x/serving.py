@@ -42,8 +42,9 @@ import jax.numpy as jnp
 from tpu1x.config import GenieConfig
 from tpu1x.models.factorization import factorize_token_ids
 from tpu1x.ops.attention import mha_reference
-from tpu1x.ops.decode_attention import (temporal_decode_attention,
-                                        temporal_decode_attention_reference)
+from tpu1x.ops.decode_attention import (
+    temporal_decode2_attention, temporal_decode2_attention_reference,
+    temporal_decode_attention, temporal_decode_attention_reference)
 
 
 def _layer_norm(x, scale, bias, eps: float = 1e-5):
@@ -333,6 +334,99 @@ class DecodeEngine:
         k_cur = jnp.stack(k_curs)[None]  # (1, L, B, S, C)
         v_cur = jnp.stack(v_curs)[None]
         return logits, (k_cur, v_cur)
+
+    def _layer_pair(self, lp, layer: int, z_2BSC, k_cache, v_cache,
+                    t_prev_B):
+        """One STBlock step over [prev_final; cur_masked] stacked on the
+        batch axis (spatial attention stays frame-local for free); temporal
+        attention via the fused two-frame kernel — ONE cache stream serves
+        both frames."""
+        cfg = self.config
+        B = z_2BSC.shape[0] // 2
+
+        def n1(t):
+            if cfg.qk_norm:
+                return t.astype(self.dtype)
+            return self._pre_norm(lp["norm1"], t)
+
+        def n2(t):
+            if cfg.qk_norm:
+                return t.astype(self.dtype)
+            return self._pre_norm(lp["norm2"], t)
+
+        z = z_2BSC + self._spatial_attn(lp["spatial_attn"], n1(z_2BSC))
+        p = lp["temporal_attn"]
+        q, k_all, v_all = self._qkv(p, z)
+        qp, qc = q[:B], q[B:]
+        kp, kcur = k_all[:B], k_all[B:]
+        vp, vcur = v_all[:B], v_all[B:]
+        if self.attn_impl == "pallas":
+            op, oc = temporal_decode2_attention(
+                qp, qc, k_cache, v_cache, kp, vp, kcur, vcur, t_prev_B,
+                layer=layer, scale=self.scale,
+                num_heads=self.config.num_heads)
+        else:
+            op, oc = temporal_decode2_attention_reference(
+                qp, qc, k_cache[:, layer], v_cache[:, layer], kp, vp, kcur,
+                vcur, t_prev_B, scale=self.scale,
+                num_heads=self.config.num_heads)
+        out = self._dense(jnp.concatenate([op, oc], axis=0),
+                          p["proj"]["kernel"], p["proj"].get("bias"))
+        z = z + out  # no temporal pre-norm (st_transformer.py:78)
+        z = z + self._mlp(lp["mlp"], n2(z))
+        return z, kp, vp
+
+    def decode_frame_pair(self, params, prev_tokens_BS, cur_tokens_BS,
+                          t_prev_B, cache, action_prev=None, action_cur=None):
+        """Fused pass: commit-grade forward of frame t_prev's FINAL tokens +
+        step-0 decode of frame t_prev+1's masked tokens. Mathematically
+        identical to a `decode_frame(prev)` (for its K/V) followed by
+        `update_cache` + `decode_frame(cur)` — but the cache and the weights
+        stream from HBM once instead of twice (the decode path is
+        bandwidth-bound, benchmarks/profile_gen.py).
+
+        Returns (logits_cur (B, S, V, F) float32, kv_prev each
+        (1, L, B, S, C)) — the caller commits kv_prev at slot t_prev.
+        """
+        cfg = self.config
+        p = params
+        B, S = prev_tokens_BS.shape
+        t_prev_B = jnp.broadcast_to(jnp.asarray(t_prev_B, jnp.int32), (B,))
+
+        def embed_frame(tokens, t_B, action_B):
+            x = self._embed(p, tokens)
+            pos = jnp.take(p["pos_embed_TSC"][0], t_B, axis=0)
+            x = x + pos.astype(self.dtype)
+            if cfg.action_vocab_size > 0 and action_B is not None:
+                act = jnp.take(p["action_embed"]["embedding"], action_B,
+                               axis=0)
+                x = x + act[:, None, :].astype(self.dtype)
+            return x
+
+        z = jnp.concatenate([
+            embed_frame(prev_tokens_BS, t_prev_B, action_prev),
+            embed_frame(cur_tokens_BS, t_prev_B + 1, action_cur),
+        ], axis=0)  # (2B, S, C)
+
+        lp = p["decoder"]["layers"]
+        k_cache, v_cache = cache["k"], cache["v"]
+        k_prevs, v_prevs = [], []
+        for layer in range(cfg.num_layers):
+            layer_p = jax.tree_util.tree_map(lambda a: a[layer], lp)
+            z, kp, vp = self._layer_pair(layer_p, layer, z, k_cache, v_cache,
+                                         t_prev_B)
+            k_prevs.append(kp)
+            v_prevs.append(vp)
+
+        y = z[B:]  # cur half
+        if cfg.use_mup:
+            y = y / cfg.width_mult
+        head = p["out_x_proj"]
+        logits = jnp.dot(y.astype(jnp.float32),
+                         head["kernel"].astype(jnp.float32)) + head["bias"]
+        logits = logits.reshape(B, S, cfg.num_factored_vocabs,
+                                cfg.factored_vocab_size).swapaxes(-1, -2)
+        return logits, (jnp.stack(k_prevs)[None], jnp.stack(v_prevs)[None])
 
     def __call__(self, params, frame_tokens_BS, t_B, cache, action_B=None):
         return self.decode_frame(params, frame_tokens_BS, t_B, cache,
