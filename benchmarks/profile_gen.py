@@ -26,14 +26,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def capture(batch: int, maskgit_steps: int, logdir: str,
             serving: bool = False, attn_impl: str = "auto",
             unroll_frames: bool = False, prefill_attn_impl: str = None,
-            flax_prefill: bool = False):
+            flax_prefill: bool = False, fused: bool = False):
     import functools
 
     import jax
     import jax.numpy as jnp
 
+    try:  # share bench.py's persistent compile cache (the fused program is
+        # byte-identical to bench.py's -> instant warmup)
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from tpu1x.model_zoo import genie_138m
-    from tpu1x.models.sampler import generate_cached
+    from tpu1x.models.sampler import generate_cached, generate_cached_fused
     from tpu1x.models.st_maskgit import STMaskGIT
 
     config = genie_138m()
@@ -48,7 +55,9 @@ def capture(batch: int, maskgit_steps: int, logdir: str,
         jax.random.PRNGKey(1), (batch, num_prompt * config.S), 0,
         config.image_vocab_size, dtype=jnp.int32)
 
-    if serving:  # the exact bench.py path
+    if fused:
+        serving = True
+    if serving:  # the serving DecodeEngine path
         from tpu1x.serving import DecodeEngine, prepare_serving_params
         params = prepare_serving_params(params)
         engine = DecodeEngine(config, attn_impl=attn_impl,
@@ -56,6 +65,12 @@ def capture(batch: int, maskgit_steps: int, logdir: str,
 
     @jax.jit
     def gen(params, prompt, rng):
+        if fused:  # the exact bench.py program
+            return generate_cached_fused(
+                functools.partial(engine.prefill, params),
+                functools.partial(engine.decode_frame, params),
+                functools.partial(engine.decode_frame_pair, params),
+                prompt, num_new, rng, config, maskgit_steps=maskgit_steps)
         if serving:
             if flax_prefill:
                 def prefill_fn(t):
@@ -150,7 +165,9 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--steps", type=int, default=2)
     ap.add_argument("--serving", action="store_true",
-                    help="profile the serving DecodeEngine path (bench.py)")
+                    help="profile the serving DecodeEngine path")
+    ap.add_argument("--fused", action="store_true",
+                    help="profile generate_cached_fused (the bench.py path)")
     ap.add_argument("--attn_impl", type=str, default="auto",
                     choices=["auto", "xla", "pallas"])
     ap.add_argument("--unroll_frames", action="store_true")
@@ -166,6 +183,6 @@ if __name__ == "__main__":
         capture(args.batch, args.steps, logdir, serving=args.serving,
                 attn_impl=args.attn_impl, unroll_frames=args.unroll_frames,
                 prefill_attn_impl=args.prefill_attn_impl,
-                flax_prefill=args.flax_prefill)
+                flax_prefill=args.flax_prefill, fused=args.fused)
         print(f"trace in {logdir}")
         analyze(logdir)
