@@ -39,6 +39,8 @@ def main():
     from tpu1x.models.st_maskgit import STMaskGIT
     from tpu1x.serving import DecodeEngine, prepare_serving_params
 
+    import os
+
     config = genie_138m()
     model = STMaskGIT(config)
 
@@ -50,10 +52,16 @@ def main():
     rng = jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, config.T * config.S), dtype=jnp.int32)
     params = model.init(rng, dummy, dummy)["params"]
-    # Serving path: bf16 weights (cast once), unrolled decode loop, fused
-    # Pallas decode-attention kernel (tpu1x/serving.py).
+    # Serving path: bf16 weights (cast once), lax.scan layer loop (fast
+    # cold compile; the committed .jax_cache makes driver reruns warm),
+    # fused Pallas decode-attention kernels (tpu1x/serving.py). The KV
+    # cache dtype is selectable (int8 halves the bandwidth-bound stream).
     sparams = prepare_serving_params(params)
-    engine = DecodeEngine(config)
+    engine = DecodeEngine(config,
+                          cache_dtype=os.environ.get("TPU1X_CACHE_DTYPE",
+                                                     "int8"),
+                          layers_mode=os.environ.get("TPU1X_LAYERS_MODE",
+                                                     "scan"))
 
     prompt = jax.random.randint(
         jax.random.PRNGKey(1), (batch, num_prompt * config.S), 0,

@@ -34,7 +34,9 @@ def capture(batch: int, maskgit_steps: int, logdir: str,
 
     try:  # share bench.py's persistent compile cache (the fused program is
         # byte-identical to bench.py's -> instant warmup)
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(repo_root, ".jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
@@ -56,6 +58,10 @@ def capture(batch: int, maskgit_steps: int, logdir: str,
         config.image_vocab_size, dtype=jnp.int32)
 
     if fused:
+        if flax_prefill or unroll_frames:
+            print("warning: --fused profiles generate_cached_fused; "
+                  "--flax_prefill/--unroll_frames are ignored",
+                  file=sys.stderr)
         serving = True
     if serving:  # the serving DecodeEngine path
         from tpu1x.serving import DecodeEngine, prepare_serving_params

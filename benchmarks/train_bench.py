@@ -28,6 +28,15 @@ def main():
     p.add_argument("--no_remat", action="store_true")
     args = p.parse_args()
 
+    try:  # persistent compile cache (shared with bench.py)
+        import os
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(repo, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from tpu1x.model_zoo import MODEL_ZOO
     from tpu1x.models.st_maskgit import STMaskGIT, count_params
     from tpu1x.parallel.mesh import batch_sharding, make_mesh

@@ -92,3 +92,37 @@ def test_orbax_sharded_async_roundtrip(tmp_path):
                          jax.tree_util.tree_leaves(restored.params)):
         if hasattr(want, "sharding") and hasattr(got, "sharding"):
             assert want.sharding == got.sharding, (want.sharding, got.sharding)
+
+
+def test_safetensors_export_roundtrip(tmp_path):
+    """flax params -> reference-named model.safetensors -> back through
+    convert_torch_state_dict must be the identity (VERDICT r2 missing #3:
+    the inverse converter, st_mask_git.py:306-313 naming)."""
+    from tpu1x.train.checkpoint import (load_torch_checkpoint,
+                                        save_pretrained_torch)
+
+    cfg = genie_tiny()
+    model = STMaskGIT(cfg)
+    ids = jnp.zeros((1, cfg.T * cfg.S), dtype=jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, ids)["params"]
+
+    save_pretrained_torch(tmp_path / "hf", params, cfg)
+    assert (tmp_path / "hf" / "model.safetensors").exists()
+    assert (tmp_path / "hf" / "config.json").exists()
+
+    back = load_torch_checkpoint(tmp_path / "hf", cfg)
+    ta = jax.tree_util.tree_leaves_with_path(params)
+    tb = dict((jax.tree_util.keystr(k), v)
+              for k, v in jax.tree_util.tree_leaves_with_path(back))
+    assert len(ta) == len(tb)
+    for k, v in ta:
+        np.testing.assert_array_equal(np.asarray(v, np.float32),
+                                      np.asarray(tb[jax.tree_util.keystr(k)],
+                                                 np.float32), err_msg=str(k))
+
+    # exported logits identical through the full export/import cycle
+    out_a = model.apply({"params": params}, ids.reshape(1, cfg.T, 4, 4),
+                        method=STMaskGIT.compute_logits)
+    out_b = model.apply({"params": back}, ids.reshape(1, cfg.T, 4, 4),
+                        method=STMaskGIT.compute_logits)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))

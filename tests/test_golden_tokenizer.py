@@ -244,3 +244,63 @@ def test_lecam_parity():
         got = float(our_losses.lecam_reg(jnp.asarray(real), jnp.asarray(fake),
                                          state))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_discriminator_actnorm_parity():
+    """ActNorm discriminator variant vs the ACTUAL reference
+    (model.py:30-36 + util.py:10-92): initialize the torch ActNorms on a
+    batch (their lazy data-dependent init), convert, compare forwards."""
+    torch.manual_seed(9)
+    ref_d = RefDiscriminator(input_nc=3, ndf=32, n_layers=2, use_actnorm=True)
+    perturb_(ref_d, 10)
+
+    rng = np.random.RandomState(11)
+    init_x = rng.uniform(-1, 1, (4, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref_d.train()
+        ref_d(torch.from_numpy(init_x))  # triggers ActNorm initialize()
+        ref_d.eval()
+
+    params, batch_stats = convert_discriminator_state_dict(
+        ref_d.state_dict(), n_layers=2)
+    assert "an_1" in params and not batch_stats
+
+    x = rng.uniform(-1, 1, (2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = ref_d(torch.from_numpy(x)).numpy()
+
+    disc = NLayerDiscriminator(input_nc=3, ndf=32, n_layers=2,
+                               use_actnorm=True, dtype=jnp.float32)
+    got = disc.apply({"params": params},
+                     jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               atol=2e-4, rtol=2e-3)
+
+
+def test_actnorm_data_dependent_init_matches_reference():
+    """Our ActNorm's init-time loc/scale == the reference's initialize()
+    buffers from the same batch (util.py:21-41)."""
+    from magvit2.modules.util import ActNorm as RefActNorm
+
+    from tpu1x.tokenizer.discriminator import ActNorm
+
+    rng = np.random.RandomState(3)
+    x = rng.normal(1.5, 2.0, (4, 8, 6, 6)).astype(np.float32)  # NCHW
+
+    ref = RefActNorm(8)
+    ref.train()
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+
+    ours = ActNorm()
+    x_nhwc = jnp.asarray(x.transpose(0, 2, 3, 1))
+    params = ours.init(jax.random.PRNGKey(0), x_nhwc)["params"]
+    np.testing.assert_allclose(np.asarray(params["loc"]),
+                               ref.loc.detach().numpy().reshape(-1),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(params["scale"]),
+                               ref.scale.detach().numpy().reshape(-1),
+                               atol=1e-5, rtol=1e-5)
+    got = ours.apply({"params": params}, x_nhwc)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               atol=1e-5, rtol=1e-4)

@@ -34,8 +34,9 @@ def setup_model(qk_norm=False, use_mup=False, action_vocab_size=0):
     return cfg, model, params
 
 
+@pytest.mark.parametrize("layers_mode", ["scan", "unroll"])
 @pytest.mark.parametrize("qk_norm,use_mup", [(False, False), (True, True)])
-def test_engine_decode_matches_flax(qk_norm, use_mup):
+def test_engine_decode_matches_flax(qk_norm, use_mup, layers_mode):
     cfg, model, params = setup_model(qk_norm=qk_norm, use_mup=use_mup)
     B = 3
     prompt = jax.random.randint(jax.random.PRNGKey(1), (B, 2, 4, 4), 0,
@@ -48,7 +49,7 @@ def test_engine_decode_matches_flax(qk_norm, use_mup):
 
     ref_logits, (ref_k, ref_v) = model.apply(
         {"params": params}, frame, t_B, cache, method=STMaskGIT.decode_frame)
-    engine = DecodeEngine(cfg, attn_impl="xla")
+    engine = DecodeEngine(cfg, attn_impl="xla", layers_mode=layers_mode)
     sparams = prepare_serving_params(params)
     logits, (k_cur, v_cur) = engine.decode_frame(sparams, frame, t_B, cache)
 
@@ -85,10 +86,11 @@ def test_engine_action_conditioning():
     assert not np.allclose(np.asarray(logits), np.asarray(logits0))
 
 
+@pytest.mark.parametrize("layers_mode", ["scan", "unroll"])
 @pytest.mark.parametrize("qk_norm,use_mup,actions",
                          [(False, False, False), (True, True, False),
                           (False, False, True)])
-def test_engine_prefill_matches_flax(qk_norm, use_mup, actions):
+def test_engine_prefill_matches_flax(qk_norm, use_mup, actions, layers_mode):
     cfg, model, params = setup_model(qk_norm=qk_norm, use_mup=use_mup,
                                      action_vocab_size=7 if actions else 0)
     B = 3
@@ -98,7 +100,7 @@ def test_engine_prefill_matches_flax(qk_norm, use_mup, actions):
                                dtype=jnp.int32) if actions else None)
     ref = model.apply({"params": params}, prompt, acts,
                       method=STMaskGIT.prefill)
-    engine = DecodeEngine(cfg, attn_impl="xla")
+    engine = DecodeEngine(cfg, attn_impl="xla", layers_mode=layers_mode)
     sparams = prepare_serving_params(params)
     got = engine.prefill(sparams, prompt, acts)
     for key in ("k", "v"):
@@ -197,7 +199,8 @@ def test_engine_rollout_exact_tokens_trained():
                                   np.asarray(tokens_ref))
 
 
-def test_fused_commit_rollout_token_exact():
+@pytest.mark.parametrize("layers_mode", ["scan", "unroll"])
+def test_fused_commit_rollout_token_exact(layers_mode):
     """generate_cached_fused (commit pass fused into the next frame's step-0
     decode) must produce token-identical greedy rollouts vs generate_cached,
     including the step-0 logits (trained weights so argmax is stable)."""
@@ -217,7 +220,7 @@ def test_fused_commit_rollout_token_exact():
     assert float(metrics["loss"]) < 4.0
 
     sparams = prepare_serving_params(state.params)
-    engine = DecodeEngine(cfg, attn_impl="xla")
+    engine = DecodeEngine(cfg, attn_impl="xla", layers_mode=layers_mode)
     prompt = tokens[:, :2].reshape(2, -1)
     kwargs = dict(input_ids_BN=prompt, num_new_frames=cfg.T - 2,
                   rng=jax.random.PRNGKey(7), config=cfg, maskgit_steps=2,
@@ -315,3 +318,106 @@ def test_pallas_decode_kernel_parity_interpret():
         np.testing.assert_allclose(np.asarray(out, np.float32),
                                    np.asarray(ref, np.float32),
                                    atol=2e-2, rtol=2e-2)
+
+
+def test_int8_cache_rollout_matches_bf16():
+    """int8 KV cache (per-token scales): trained-model greedy rollouts must
+    agree with the bf16 cache path at an overwhelming token rate, with close
+    step-0 logits (decode is bandwidth-bound; int8 halves the cache stream —
+    VERDICT r2 next #3)."""
+    from tpu1x.models.sampler import generate_cached_fused
+    from tpu1x.train.optim import build_optimizer
+    from tpu1x.train.step import create_train_state, make_train_step
+
+    cfg, model, params = setup_model()
+    tx = build_optimizer(cfg, learning_rate=1e-2, num_training_steps=1000,
+                         lr_scheduler_type="constant")
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), cfg)
+    step = make_train_step(model, tx, cfg, donate=False)
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (2, cfg.T, 4, 4), 0,
+                                cfg.image_vocab_size, dtype=jnp.int32)
+    for _ in range(100):
+        state, metrics = step(state, tokens)
+    assert float(metrics["loss"]) < 4.0
+
+    sparams = prepare_serving_params(state.params)
+    prompt = tokens[:, :2].reshape(2, -1)
+    kwargs = dict(input_ids_BN=prompt, num_new_frames=cfg.T - 2,
+                  rng=jax.random.PRNGKey(7), config=cfg, maskgit_steps=2,
+                  temperature=0.0, unmask_mode="greedy")
+
+    outs = {}
+    for cache_dtype in ("bf16", "int8"):
+        engine = DecodeEngine(cfg, attn_impl="xla", cache_dtype=cache_dtype)
+        outs[cache_dtype] = generate_cached_fused(
+            functools.partial(engine.prefill, sparams),
+            functools.partial(engine.decode_frame, sparams),
+            functools.partial(engine.decode_frame_pair, sparams), **kwargs)
+
+    tok_a, log_a = outs["bf16"]
+    tok_b, log_b = outs["int8"]
+    agree = (np.asarray(tok_a) == np.asarray(tok_b)).mean()
+    assert agree >= 0.98, agree
+    # step-0 logits close in absolute terms (trained logits are O(10))
+    np.testing.assert_allclose(np.asarray(log_b), np.asarray(log_a),
+                               atol=0.5, rtol=0.5)
+
+
+def test_pallas_decode_kernel_int8_parity_interpret():
+    """Quantized-cache kernel == jnp oracle fed the dequantized cache."""
+    from tpu1x.ops.decode_attention import (
+        dequantize_kv, quantize_kv, temporal_decode_attention,
+        temporal_decode_attention_reference)
+    L, B, S, T, C, H = 3, 4, 32, 5, 64, 4
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    q = jax.random.normal(ks[0], (B, S, C), jnp.bfloat16)
+    kc = jax.random.normal(ks[1], (T, L, B, S, C), jnp.bfloat16)
+    vc = jax.random.normal(ks[2], (T, L, B, S, C), jnp.bfloat16)
+    kcur = jax.random.normal(ks[3], (B, S, C), jnp.bfloat16)
+    vcur = jax.random.normal(ks[4], (B, S, C), jnp.bfloat16)
+    tB = jnp.array([1, 2, 3, 4], jnp.int32)
+    kq, ksc = quantize_kv(kc)
+    vq, vsc = quantize_kv(vc)
+    for layer in (0, 2):
+        deq_k = dequantize_kv(kq, ksc).astype(jnp.bfloat16)
+        deq_v = dequantize_kv(vq, vsc).astype(jnp.bfloat16)
+        ref = temporal_decode_attention_reference(
+            q, deq_k[:, layer], deq_v[:, layer], kcur, vcur, tB, scale=0.25,
+            num_heads=H)
+        out = temporal_decode_attention(
+            q, kq, vq, kcur, vcur, tB, layer=layer, scale=0.25, num_heads=H,
+            tile_s=16, interpret=True, k_scale=ksc, v_scale=vsc)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=3e-2, rtol=3e-2)
+
+
+def test_pallas_decode2_kernel_int8_parity_interpret():
+    from tpu1x.ops.decode_attention import (
+        dequantize_kv, quantize_kv, temporal_decode2_attention,
+        temporal_decode2_attention_reference)
+    L, B, S, T, C, H = 2, 3, 32, 5, 64, 4
+    ks = jax.random.split(jax.random.PRNGKey(5), 9)
+    mk = lambda i, *shape: jax.random.normal(ks[i], shape, jnp.bfloat16)
+    qp, qc = mk(0, B, S, C), mk(1, B, S, C)
+    kc, vc = mk(2, T, L, B, S, C), mk(3, T, L, B, S, C)
+    kp, vp = mk(4, B, S, C), mk(5, B, S, C)
+    kcur, vcur = mk(6, B, S, C), mk(7, B, S, C)
+    tB = jnp.array([1, 2, 4], jnp.int32)
+    kq, ksc = quantize_kv(kc)
+    vq, vsc = quantize_kv(vc)
+    for layer in (0, 1):
+        deq_k = dequantize_kv(kq, ksc).astype(jnp.bfloat16)
+        deq_v = dequantize_kv(vq, vsc).astype(jnp.bfloat16)
+        want_p, want_c = temporal_decode2_attention_reference(
+            qp, qc, deq_k[:, layer], deq_v[:, layer], kp, vp, kcur, vcur, tB,
+            scale=0.25, num_heads=H)
+        got_p, got_c = temporal_decode2_attention(
+            qp, qc, kq, vq, kp, vp, kcur, vcur, tB, layer=layer, scale=0.25,
+            num_heads=H, tile_s=16, interpret=True, k_scale=ksc, v_scale=vsc)
+        np.testing.assert_allclose(np.asarray(got_p, np.float32),
+                                   np.asarray(want_p, np.float32),
+                                   atol=3e-2, rtol=3e-2)
+        np.testing.assert_allclose(np.asarray(got_c, np.float32),
+                                   np.asarray(want_c, np.float32),
+                                   atol=3e-2, rtol=3e-2)

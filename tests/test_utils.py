@@ -33,3 +33,24 @@ def test_stopwatch():
 
     t = Stopwatch(f)(jnp.ones(4), warmup=1, iters=2)
     assert t >= 0
+
+
+def test_comic_layout_labels():
+    """Comic/GIF captions must distinguish Prompt / Generated / Ground truth
+    from a generate.py stream [P prompt | W-P pred | W-P gtruth]
+    (reference visualize.py:162-199; VERDICT r2 missing #4)."""
+    import numpy as np
+
+    from tpu1x.eval.visualize import caption_for_frame, make_comic
+
+    P, W = 2, 4
+    n = 2 * W - P  # generate.py stream length (generate.py:97-103)
+    labels = [caption_for_frame(i, P, W) for i in range(n)]
+    assert labels == ["Prompt", "Prompt", "Generated", "Generated",
+                      "Ground truth", "Ground truth"]
+
+    frames = np.zeros((n, 8, 8, 3), np.uint8)
+    comic = make_comic(frames, P, W)
+    # two rows of W columns: (2*(8+caption_strip), W*8, 3)
+    assert comic.shape[0] == 2 * (8 + 24)
+    assert comic.shape[1] == W * 8

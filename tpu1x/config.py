@@ -156,6 +156,7 @@ class VQConfig:
     disc_num_layers: int = 3
     disc_in_channels: int = 3
     disc_loss: str = "hinge"  # "hinge" | "vanilla" | "non_saturate"
+    use_actnorm: bool = False  # ActNorm instead of BatchNorm (ref config.py:27)
     gen_loss_weight: Optional[float] = None  # None -> adaptive weight
     lecam_weight: float = 0.005
     perceptual_weight: float = 1.0

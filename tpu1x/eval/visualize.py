@@ -96,24 +96,40 @@ def caption_image(img: np.ndarray, text: str) -> np.ndarray:
     return np.asarray(out)
 
 
+def caption_for_frame(i: int, num_prompt_frames: int, window_size: int) -> str:
+    """Caption of frame i of a generate.py stream
+    `[prompt | predicted | ground truth]` (reference: visualize.py:162-176)."""
+    if i < num_prompt_frames:
+        return "Prompt"
+    if i < window_size:
+        return "Generated"
+    return "Ground truth"
+
+
 def make_comic(frames: np.ndarray, num_prompt_frames: int, window_size: int
                ) -> np.ndarray:
-    """Grid PNG: rows of [Prompt | Generated] and [ - | Ground truth]
-    (reference: visualize.py:162-206 layout, simplified to a row pair)."""
+    """Two-row grid PNG from a generate.py stream
+    `[prompt (P) | predicted (W-P) | ground truth (W-P)]` (generate.py:97-103):
+    top row = Prompt + Prediction, bottom row = Prompt + Ground truth, with
+    ground-truth frame i placed at column i - W + P — the reference's comic
+    layout (visualize.py:185-199)."""
+    P, W = num_prompt_frames, window_size
     n = len(frames)
-    rows = []
-    for start in range(0, n, window_size):
-        row = []
-        for i in range(window_size):
-            if start + i >= n:
-                break
-            label = "Prompt" if i < num_prompt_frames else "Generated"
-            row.append(caption_image(frames[start + i], label))
-        if row:
-            rows.append(np.concatenate(row, axis=1))
-    width = max(r.shape[1] for r in rows)
-    rows = [np.pad(r, ((0, 0), (0, width - r.shape[1]), (0, 0))) for r in rows]
-    return np.concatenate(rows, axis=0)
+    top, bot = [], []
+    for i in range(min(P, n)):
+        top.append(caption_image(frames[i], "Prompt"))
+        bot.append(caption_image(frames[i], "Prompt"))
+    for i in range(P, min(W, n)):
+        top.append(caption_image(frames[i], "Prediction"))
+    for i in range(W, n):
+        bot.append(caption_image(frames[i], "Ground truth"))
+    blank = caption_image(np.full_like(frames[0], 255), "")
+    while len(bot) < len(top):
+        bot.append(blank)
+    while len(top) < len(bot):
+        top.append(blank)
+    return np.concatenate([np.concatenate(top, axis=1),
+                           np.concatenate(bot, axis=1)], axis=0)
 
 
 def main():
@@ -135,9 +151,18 @@ def main():
     frames = decode(ids)
 
     prefix = args.output_prefix or str(Path(args.token_dir) / "vis")
-    export_to_gif(list(frames), f"{prefix}.gif", fps=args.fps)
     meta = ds.metadata
-    if "num_prompt_frames" in meta and "window_size" in meta:
+    # generate.py populates these keys; ground-truth-only datasets do not
+    # (reference: visualize.py:161-177)
+    is_generated = ("num_prompt_frames" in meta and "window_size" in meta)
+    if is_generated:
+        P, W = meta["num_prompt_frames"], meta["window_size"]
+        gif_frames = [caption_image(f, caption_for_frame(i, P, W))
+                      for i, f in enumerate(frames)]
+    else:
+        gif_frames = list(frames)  # ground truth stays uncaptioned
+    export_to_gif(gif_frames, f"{prefix}.gif", fps=args.fps)
+    if is_generated:
         from PIL import Image
         comic = make_comic(frames, meta["num_prompt_frames"],
                            meta["window_size"])

@@ -230,9 +230,26 @@ def update_cache(cache: Dict[str, jnp.ndarray], kv_cur, t) -> Dict[str, jnp.ndar
     With the T-major cache, the (1, L, B, S, C) update is one contiguous
     tile-aligned slab — XLA updates the carry buffer in place instead of
     copying the whole cache.
+
+    For an int8 serving cache (`k_scale`/`v_scale` present —
+    tpu1x/serving.py cache_dtype="int8"), the incoming bf16 K/V are
+    quantized per token at commit and their scales stored alongside.
     """
     k_cur, v_cur = kv_cur
     idx = (jnp.asarray(t, jnp.int32), 0, 0, 0, 0)
+    if "k_scale" in cache:
+        from tpu1x.ops.decode_attention import quantize_kv
+        kq, ks = quantize_kv(k_cur)
+        vq, vs = quantize_kv(v_cur)
+        idx4 = idx[:4]
+        return {
+            "k": jax.lax.dynamic_update_slice(cache["k"], kq, idx),
+            "v": jax.lax.dynamic_update_slice(cache["v"], vq, idx),
+            "k_scale": jax.lax.dynamic_update_slice(cache["k_scale"], ks,
+                                                    idx4),
+            "v_scale": jax.lax.dynamic_update_slice(cache["v_scale"], vs,
+                                                    idx4),
+        }
     return {"k": jax.lax.dynamic_update_slice(cache["k"], k_cur, idx),
             "v": jax.lax.dynamic_update_slice(cache["v"], v_cur, idx)}
 

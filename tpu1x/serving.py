@@ -5,12 +5,14 @@ runs the layer stack as `nn.scan`, whose per-iteration xs slicing forces XLA
 to materialize each layer's KV-cache slice (and, fused with the einsum
 lowering, an fp32 *copy* of it) — ~60% of decode wall time at GENIE_138M.
 Serving-quality decode needs the cache read exactly once per call, which
-requires (a) an unrolled layer loop with *static* layer indices and (b) a
-fused attention kernel that streams the bf16 cache from HBM
-(tpu1x/ops/decode_attention.py). Neither is expressible through `nn.scan`,
-so the decode step is re-implemented here as plain functions over the same
-parameter pytree the flax model produces (scan layout: leaves stacked over
-layers). The flax `STMaskGIT.decode_frame` remains the parity oracle
+requires a fused attention kernel that streams the bf16 cache from HBM
+directly — the layer index reaches the kernel's cache index_map via scalar
+prefetch (tpu1x/ops/decode_attention.py), so the layer loop itself can be a
+plain `lax.scan` (one traced body, fast compiles) or fully unrolled
+(`layers_mode`). Neither is expressible through `nn.scan`, so the decode
+step is re-implemented here as plain functions over the same parameter
+pytree the flax model produces (scan layout: leaves stacked over layers).
+The flax `STMaskGIT.decode_frame` remains the parity oracle
 (tests/test_serving.py).
 
 Behavioral contract: identical to `STMaskGIT.decode_frame`
@@ -80,7 +82,8 @@ class DecodeEngine:
     """
 
     def __init__(self, config: GenieConfig, attn_impl: str = "auto",
-                 compute_dtype=None, prefill_attn_impl: str = None):
+                 compute_dtype=None, prefill_attn_impl: str = None,
+                 layers_mode: str = "scan", cache_dtype: str = "bf16"):
         self.config = config
         self.dtype = (jnp.dtype(config.dtype) if compute_dtype is None
                       else jnp.dtype(compute_dtype))
@@ -89,6 +92,18 @@ class DecodeEngine:
                          else "xla")
         assert attn_impl in ("pallas", "xla"), attn_impl
         self.attn_impl = attn_impl
+        # "scan": lax.scan over the stacked layer axis — ONE traced copy of
+        # the layer body; the decode kernels take the layer index at runtime
+        # (scalar prefetch into the cache index_map), so the single-cache-
+        # read property is preserved. ~32x smaller program / compile time at
+        # GENIE_138M than "unroll" (static layer indices), same math.
+        assert layers_mode in ("scan", "unroll"), layers_mode
+        self.layers_mode = layers_mode
+        # "int8": per-token symmetric int8 KV cache (scales folded into the
+        # kernel's logits/probs) — halves the bytes of the bandwidth-bound
+        # cache stream. Parity vs the bf16 oracle in tests/test_serving.py.
+        assert cache_dtype in ("bf16", "int8"), cache_dtype
+        self.cache_dtype = cache_dtype
         # prefill's bidirectional spatial attention is a separate choice from
         # the decode kernel: XLA's fused attention beats the flash kernel at
         # prefill shapes (S=256, head_dim 32-64; measured 830 -> 795 ms per
@@ -153,15 +168,28 @@ class DecodeEngine:
         return self._dense(out.reshape(B, S, C), p["proj"]["kernel"],
                            p["proj"].get("bias"))
 
-    def _temporal_attn(self, p, x_BSC, k_cache, v_cache, layer: int, t_B):
+    def _cache_slice(self, cache, layer):
+        """Dequantized (T, B, S, C) K/V slices of `layer` (oracle path)."""
+        from tpu1x.ops.decode_attention import dequantize_kv
+        k_l, v_l = cache["k"][:, layer], cache["v"][:, layer]
+        if "k_scale" in cache:
+            k_l = dequantize_kv(k_l, cache["k_scale"][:, layer]).astype(
+                self.dtype)
+            v_l = dequantize_kv(v_l, cache["v_scale"][:, layer]).astype(
+                self.dtype)
+        return k_l, v_l
+
+    def _temporal_attn(self, p, x_BSC, cache, layer, t_B):
         q, k_cur, v_cur = self._qkv(p, x_BSC)
         if self.attn_impl == "pallas":
             out = temporal_decode_attention(
-                q, k_cache, v_cache, k_cur, v_cur, t_B, layer=layer,
-                scale=self.scale, num_heads=self.config.num_heads)
+                q, cache["k"], cache["v"], k_cur, v_cur, t_B, layer=layer,
+                scale=self.scale, num_heads=self.config.num_heads,
+                k_scale=cache.get("k_scale"), v_scale=cache.get("v_scale"))
         else:
+            k_l, v_l = self._cache_slice(cache, layer)
             out = temporal_decode_attention_reference(
-                q, k_cache[:, layer], v_cache[:, layer], k_cur, v_cur, t_B,
+                q, k_l, v_l, k_cur, v_cur, t_B,
                 scale=self.scale, num_heads=self.config.num_heads)
         out = self._dense(out, p["proj"]["kernel"], p["proj"].get("bias"))
         return out, k_cur, v_cur
@@ -178,7 +206,7 @@ class DecodeEngine:
         return layer_norm(x, ln_p["scale"], ln_p["bias"],
                           out_dtype=self.dtype)
 
-    def _layer(self, lp, layer: int, x, k_cache, v_cache, t_B):
+    def _layer(self, lp, layer, x, cache, t_B):
         """One STBlock decode step (parity: STBlock.decode_step)."""
         cfg = self.config
 
@@ -194,7 +222,7 @@ class DecodeEngine:
 
         x = x + self._spatial_attn(lp["spatial_attn"], n1(x))
         t_out, k_cur, v_cur = self._temporal_attn(
-            lp["temporal_attn"], x, k_cache, v_cache, layer, t_B)
+            lp["temporal_attn"], x, cache, layer, t_B)
         x = x + t_out  # NOTE: no pre-norm on temporal (st_transformer.py:78)
         x = x + self._mlp(lp["mlp"], n2(x))
         return x, k_cur, v_cur
@@ -235,21 +263,34 @@ class DecodeEngine:
             x = x + act[:, :, None, :].astype(self.dtype)
 
         lp = p["decoder"]["layers"]
-        ks, vs = [], []
-        for layer in range(cfg.num_layers):
-            layer_p = jax.tree_util.tree_map(lambda a: a[layer], lp)
-            x, k, v = self._prefill_layer(layer_p, x)  # k/v (B, S, P, C)
-            ks.append(k)
-            vs.append(v)
-        k = jnp.stack(ks, axis=2)  # (B, S, L, P, C)
-        v = jnp.stack(vs, axis=2)
-        k = jnp.transpose(k, (3, 2, 0, 1, 4))  # (P, L, B, S, C)
-        v = jnp.transpose(v, (3, 2, 0, 1, 4))
+        if self.layers_mode == "unroll":
+            ks, vs = [], []
+            for layer in range(cfg.num_layers):
+                layer_p = jax.tree_util.tree_map(lambda a: a[layer], lp)
+                x, k, v = self._prefill_layer(layer_p, x)  # k/v (B, S, P, C)
+                ks.append(k)
+                vs.append(v)
+            k = jnp.stack(ks, axis=2)  # (B, S, L, P, C)
+            v = jnp.stack(vs, axis=2)
+            k = jnp.transpose(k, (3, 2, 0, 1, 4))  # (P, L, B, S, C)
+            v = jnp.transpose(v, (3, 2, 0, 1, 4))
+        else:
+            def body(x, lp_l):
+                x, k, v = self._prefill_layer(lp_l, x)
+                return x, (k, v)
+            x, (ks, vs) = jax.lax.scan(body, x, lp)  # (L, B, S, P, C)
+            k = jnp.transpose(ks, (3, 0, 1, 2, 4))  # (P, L, B, S, C)
+            v = jnp.transpose(vs, (3, 0, 1, 2, 4))
         pad = cfg.T - P
         if pad > 0:
             widths = [(0, pad), (0, 0), (0, 0), (0, 0), (0, 0)]
             k = jnp.pad(k, widths)
             v = jnp.pad(v, widths)
+        if self.cache_dtype == "int8":
+            from tpu1x.ops.decode_attention import quantize_kv
+            kq, ks = quantize_kv(k)
+            vq, vs = quantize_kv(v)
+            return {"k": kq, "v": vq, "k_scale": ks, "v_scale": vs}
         return {"k": k, "v": v}
 
     def _prefill_layer(self, lp, x_BPSC):
@@ -315,14 +356,24 @@ class DecodeEngine:
             x = x + act[:, None, :].astype(self.dtype)
 
         lp = p["decoder"]["layers"]
-        k_cache, v_cache = cache["k"], cache["v"]
-        k_curs, v_curs = [], []
-        for layer in range(cfg.num_layers):
-            layer_p = jax.tree_util.tree_map(lambda a: a[layer], lp)
-            x, k_cur, v_cur = self._layer(layer_p, layer, x, k_cache,
-                                          v_cache, t_B)
-            k_curs.append(k_cur)
-            v_curs.append(v_cur)
+        if self.layers_mode == "unroll":
+            k_curs, v_curs = [], []
+            for layer in range(cfg.num_layers):
+                layer_p = jax.tree_util.tree_map(lambda a: a[layer], lp)
+                x, k_cur, v_cur = self._layer(layer_p, layer, x, cache, t_B)
+                k_curs.append(k_cur)
+                v_curs.append(v_cur)
+            k_cur = jnp.stack(k_curs)[None]  # (1, L, B, S, C)
+            v_cur = jnp.stack(v_curs)[None]
+        else:
+            def body(x, xs):
+                lp_l, li = xs
+                x, k_cur, v_cur = self._layer(lp_l, li, x, cache, t_B)
+                return x, (k_cur, v_cur)
+            lis = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+            x, (k_curs, v_curs) = jax.lax.scan(body, x, (lp, lis))
+            k_cur = k_curs[None]  # (1, L, B, S, C)
+            v_cur = v_curs[None]
 
         if cfg.use_mup:
             x = x / cfg.width_mult
@@ -331,12 +382,9 @@ class DecodeEngine:
                          head["kernel"].astype(jnp.float32)) + head["bias"]
         logits = logits.reshape(B, S, cfg.num_factored_vocabs,
                                 cfg.factored_vocab_size).swapaxes(-1, -2)
-        k_cur = jnp.stack(k_curs)[None]  # (1, L, B, S, C)
-        v_cur = jnp.stack(v_curs)[None]
         return logits, (k_cur, v_cur)
 
-    def _layer_pair(self, lp, layer: int, z_2BSC, k_cache, v_cache,
-                    t_prev_B):
+    def _layer_pair(self, lp, layer, z_2BSC, cache, t_prev_B):
         """One STBlock step over [prev_final; cur_masked] stacked on the
         batch axis (spatial attention stays frame-local for free); temporal
         attention via the fused two-frame kernel — ONE cache stream serves
@@ -362,12 +410,14 @@ class DecodeEngine:
         vp, vcur = v_all[:B], v_all[B:]
         if self.attn_impl == "pallas":
             op, oc = temporal_decode2_attention(
-                qp, qc, k_cache, v_cache, kp, vp, kcur, vcur, t_prev_B,
+                qp, qc, cache["k"], cache["v"], kp, vp, kcur, vcur, t_prev_B,
                 layer=layer, scale=self.scale,
-                num_heads=self.config.num_heads)
+                num_heads=self.config.num_heads,
+                k_scale=cache.get("k_scale"), v_scale=cache.get("v_scale"))
         else:
+            k_l, v_l = self._cache_slice(cache, layer)
             op, oc = temporal_decode2_attention_reference(
-                qp, qc, k_cache[:, layer], v_cache[:, layer], kp, vp, kcur,
+                qp, qc, k_l, v_l, kp, vp, kcur,
                 vcur, t_prev_B, scale=self.scale,
                 num_heads=self.config.num_heads)
         out = self._dense(jnp.concatenate([op, oc], axis=0),
@@ -409,14 +459,23 @@ class DecodeEngine:
         ], axis=0)  # (2B, S, C)
 
         lp = p["decoder"]["layers"]
-        k_cache, v_cache = cache["k"], cache["v"]
-        k_prevs, v_prevs = [], []
-        for layer in range(cfg.num_layers):
-            layer_p = jax.tree_util.tree_map(lambda a: a[layer], lp)
-            z, kp, vp = self._layer_pair(layer_p, layer, z, k_cache, v_cache,
-                                         t_prev_B)
-            k_prevs.append(kp)
-            v_prevs.append(vp)
+        if self.layers_mode == "unroll":
+            k_prevs, v_prevs = [], []
+            for layer in range(cfg.num_layers):
+                layer_p = jax.tree_util.tree_map(lambda a: a[layer], lp)
+                z, kp, vp = self._layer_pair(layer_p, layer, z, cache,
+                                             t_prev_B)
+                k_prevs.append(kp)
+                v_prevs.append(vp)
+            kv_prev = (jnp.stack(k_prevs)[None], jnp.stack(v_prevs)[None])
+        else:
+            def body(z, xs):
+                lp_l, li = xs
+                z, kp, vp = self._layer_pair(lp_l, li, z, cache, t_prev_B)
+                return z, (kp, vp)
+            lis = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+            z, (k_prevs, v_prevs) = jax.lax.scan(body, z, (lp, lis))
+            kv_prev = (k_prevs[None], v_prevs[None])
 
         y = z[B:]  # cur half
         if cfg.use_mup:
@@ -426,7 +485,7 @@ class DecodeEngine:
                          head["kernel"].astype(jnp.float32)) + head["bias"]
         logits = logits.reshape(B, S, cfg.num_factored_vocabs,
                                 cfg.factored_vocab_size).swapaxes(-1, -2)
-        return logits, (jnp.stack(k_prevs)[None], jnp.stack(v_prevs)[None])
+        return logits, kv_prev
 
     def __call__(self, params, frame_tokens_BS, t_B, cache, action_B=None):
         return self.decode_frame(params, frame_tokens_BS, t_B, cache,

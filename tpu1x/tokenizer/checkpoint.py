@@ -133,10 +133,15 @@ def convert_discriminator_state_dict(state_dict, n_layers: int = 3
     for n in range(1, n_layers + 1):
         idx = 3 * n - 1  # conv at 2, 5, 8, ...
         params[f"conv_{n}"] = _conv(sd, f"main.{idx}")
-        params[f"bn_{n}"] = {"scale": sd[f"main.{idx + 1}.weight"],
-                             "bias": sd[f"main.{idx + 1}.bias"]}
-        stats[f"bn_{n}"] = {"mean": sd[f"main.{idx + 1}.running_mean"],
-                            "var": sd[f"main.{idx + 1}.running_var"]}
+        if f"main.{idx + 1}.loc" in sd:  # ActNorm (util.py:10-92): (1,C,1,1)
+            params[f"an_{n}"] = {"loc": sd[f"main.{idx + 1}.loc"].reshape(-1),
+                                 "scale":
+                                     sd[f"main.{idx + 1}.scale"].reshape(-1)}
+        else:
+            params[f"bn_{n}"] = {"scale": sd[f"main.{idx + 1}.weight"],
+                                 "bias": sd[f"main.{idx + 1}.bias"]}
+            stats[f"bn_{n}"] = {"mean": sd[f"main.{idx + 1}.running_mean"],
+                                "var": sd[f"main.{idx + 1}.running_var"]}
     params["conv_out"] = _conv(sd, f"main.{3 * n_layers + 2}")
     as_jnp = partial(jax.tree_util.tree_map, jnp.asarray)
     return as_jnp(params), as_jnp(stats)

@@ -32,3 +32,41 @@ def linear_warmup_cosine_decay(warmup_steps: int, max_decay_steps: int,
             * (1 + jnp.cos(jnp.pi * progress))
         return jnp.where(step < warmup_steps, warm, cos_mult)
     return schedule
+
+
+def build_tokenizer_optimizer(learning_rate: float,
+                              beta1: float = 0.5, beta2: float = 0.9,
+                              scheduler_type: str = "none",
+                              warmup_steps: int = 0,
+                              training_steps: int = 0,
+                              min_learning_rate: float = 0.0,
+                              grad_accum_steps: int = 1):
+    """One tokenizer optimizer matching the reference's configure_optimizers
+    semantics (magvit2/models/lfqgan.py:211-243 + the accumulation gate at
+    lfqgan.py:161-180): Adam(betas) x an LR-multiplier schedule that advances
+    once per *update* (not per micro-batch), wrapped in optax.MultiSteps so
+    params change only every `grad_accum_steps` calls (grads averaged across
+    the window, matching loss-mean accumulation).
+
+    scheduler_type: "none" | "linear-warmup" | "linear-warmup_cosine-decay"
+    (the reference's names, lfqgan.py:227-238).
+    """
+    import optax
+
+    if scheduler_type in ("none", "None"):
+        lr = learning_rate
+    elif scheduler_type == "linear-warmup":
+        mult = linear_warmup(warmup_steps)
+        lr = lambda step: learning_rate * mult(step)  # noqa: E731
+    elif scheduler_type == "linear-warmup_cosine-decay":
+        mult = linear_warmup_cosine_decay(
+            warmup_steps, training_steps,
+            multiplier_min=min_learning_rate / learning_rate)
+        lr = lambda step: learning_rate * mult(step)  # noqa: E731
+    else:
+        raise ValueError(f"unknown scheduler_type {scheduler_type!r}")
+
+    tx = optax.adam(lr, b1=beta1, b2=beta2)
+    if grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
+    return tx

@@ -48,18 +48,31 @@ class TokenizerTrainState:
 
 
 def create_tokenizer_state(config: VQConfig, gen_tx, disc_tx, rng,
-                           image_size: Optional[int] = None
+                           image_size: Optional[int] = None,
+                           disc_init_batch=None
                            ) -> Tuple[TokenizerTrainState, VQModel,
                                       NLayerDiscriminator]:
+    """`disc_init_batch`: a real (B, H, W, C) image batch used to initialize
+    the discriminator. Required in spirit when `config.use_actnorm`: ActNorm's
+    loc/scale are data-dependent (the torch version initializes on its first
+    training batch, magvit2/modules/util.py:21-41); without one, a
+    standard-normal batch is substituted so scales stay finite."""
     model = VQModel(config)
     disc = NLayerDiscriminator(input_nc=config.disc_in_channels,
                                n_layers=config.disc_num_layers,
+                               use_actnorm=config.use_actnorm,
                                dtype=jnp.dtype(config.dtype))
     size = image_size or config.resolution
     dummy = jnp.zeros((1, size, size, config.in_channels))
     k1, k2, k3 = jax.random.split(rng, 3)
     gen_params = model.init(k1, dummy)["params"]
-    disc_vars = disc.init(k2, dummy, train=True)
+    disc_init = disc_init_batch
+    if disc_init is None:
+        disc_init = (jax.random.normal(k2, (4, size, size,
+                                            config.in_channels))
+                     if config.use_actnorm else dummy)
+    disc_vars = disc.init(k2, jnp.asarray(disc_init, jnp.float32),
+                          train=True)
     state = TokenizerTrainState(
         step=jnp.zeros((), jnp.int32),
         gen_params=gen_params, gen_opt=gen_tx.init(gen_params),
@@ -158,13 +171,15 @@ def make_tokenizer_train_step(model: VQModel, disc: NLayerDiscriminator,
             variables = {"params": disc_params, "batch_stats": state.disc_stats}
             logits_real, mut = disc.apply(variables, images, train=True,
                                           mutable=["batch_stats"])
+            stats = mut.get("batch_stats", state.disc_stats)  # ActNorm: none
             logits_fake, mut = disc.apply(
-                {"params": disc_params, "batch_stats": mut["batch_stats"]},
+                {"params": disc_params, "batch_stats": stats},
                 recon_detached, train=True, mutable=["batch_stats"])
+            stats = mut.get("batch_stats", stats)
             d_loss = d_loss_fn(logits_real, logits_fake)
             lecam = L.lecam_reg(logits_real, logits_fake, state.lecam)
             total = disc_factor * (d_loss + config.lecam_weight * lecam)
-            return total, (logits_real, logits_fake, mut["batch_stats"],
+            return total, (logits_real, logits_fake, stats,
                            d_loss, lecam)
 
         (disc_loss, (lr_, lf_, disc_stats, d_loss, lecam_val)), disc_grads = \
@@ -206,22 +221,56 @@ def main(argv=None):
     p.add_argument("--output_dir", type=str, required=True)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--learning_rate", type=float, default=1e-4)
-    p.add_argument("--max_train_steps", type=int, default=1000)
+    p.add_argument("--max_train_steps", type=int, default=1000,
+                   help="number of micro-batches (optimizer updates happen "
+                        "every --accumulate_grad_batches of these)")
     p.add_argument("--image_size", type=int, default=None)
     p.add_argument("--disc_start", type=int, default=0)
     p.add_argument("--seed", type=int, default=42)
+    # reference training dynamics (lfqgan.py:161-180, 211-243)
+    p.add_argument("--accumulate_grad_batches", type=int, default=1,
+                   help="both optimizers step every N micro-batches "
+                        "(lfqgan.py:161)")
+    p.add_argument("--adam_beta_1", type=float, default=0.5)
+    p.add_argument("--adam_beta_2", type=float, default=0.9)
+    p.add_argument("--scheduler_type", type=str, default="none",
+                   choices=["none", "linear-warmup",
+                            "linear-warmup_cosine-decay"],
+                   help="LR schedule attached to BOTH optimizers "
+                        "(lfqgan.py:227-238)")
+    p.add_argument("--warmup_steps", type=int, default=0,
+                   help="warmup updates (the reference derives this from "
+                        "warmup_epochs * steps_per_epoch)")
+    p.add_argument("--min_learning_rate", type=float, default=0.0,
+                   help="cosine floor; multiplier_min = min_lr / lr "
+                        "(lfqgan.py:232-234)")
+    p.add_argument("--use_actnorm", action="store_true",
+                   help="ActNorm discriminator instead of BatchNorm "
+                        "(discriminator/model.py:30-36)")
     args = p.parse_args(argv)
 
-    config = VQConfig(disc_start=args.disc_start)
+    config = VQConfig(disc_start=args.disc_start,
+                      use_actnorm=args.use_actnorm)
     images = np.load(args.images_npy, mmap_mode="r")
     size = args.image_size or images.shape[1]
     config.resolution = size
 
-    gen_tx = optax.adam(args.learning_rate, b1=0.5, b2=0.9)
-    disc_tx = optax.adam(args.learning_rate, b1=0.5, b2=0.9)
+    from tpu1x.tokenizer.schedulers import build_tokenizer_optimizer
+    num_updates = args.max_train_steps // max(args.accumulate_grad_batches, 1)
+    opt_kwargs = dict(
+        learning_rate=args.learning_rate, beta1=args.adam_beta_1,
+        beta2=args.adam_beta_2, scheduler_type=args.scheduler_type,
+        warmup_steps=args.warmup_steps, training_steps=num_updates,
+        min_learning_rate=args.min_learning_rate,
+        grad_accum_steps=args.accumulate_grad_batches)
+    gen_tx = build_tokenizer_optimizer(**opt_kwargs)
+    disc_tx = build_tokenizer_optimizer(**opt_kwargs)
+    init_batch = jnp.asarray(
+        np.asarray(images[:min(8, len(images))]).astype(np.float32)
+        / 127.5 - 1.0)
     state, model, disc = create_tokenizer_state(
         config, gen_tx, disc_tx, jax.random.PRNGKey(args.seed),
-        image_size=size)
+        image_size=size, disc_init_batch=init_batch)
     step_fn = make_tokenizer_train_step(model, disc, gen_tx, disc_tx, config)
 
     rng = np.random.RandomState(args.seed)

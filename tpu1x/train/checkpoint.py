@@ -138,7 +138,11 @@ def convert_torch_state_dict(state_dict: Dict[str, np.ndarray],
     def to_np(v):
         if hasattr(v, "detach"):
             v = v.detach().cpu().numpy()
-        return np.asarray(v)
+        # MUST copy: .numpy() views torch storage, and jnp.asarray on CPU can
+        # alias numpy memory zero-copy — without the copy, a later in-place
+        # torch mutation (e.g. optimizer.step) silently mutates the
+        # "converted" jax params too.
+        return np.array(v, copy=True)
 
     sd = {k: to_np(v) for k, v in state_dict.items()}
     L = config.num_layers
@@ -193,6 +197,74 @@ def convert_torch_state_dict(state_dict: Dict[str, np.ndarray],
         p["decoder"] = {f"layers_{i}": lp for i, lp in enumerate(layers)}
 
     return jax.tree_util.tree_map(jnp.asarray, p)
+
+
+def convert_to_torch_state_dict(params: Any, config: GenieConfig
+                                ) -> Dict[str, np.ndarray]:
+    """Inverse of `convert_torch_state_dict`: flax param tree -> reference-
+    named torch-layout state dict (st_mask_git.py naming, Linear weights
+    transposed back to (out, in)) so reference tooling
+    (`STMaskGIT.from_pretrained`, st_mask_git.py:306-313) can load
+    tpu1x-trained models. Round-trip tested in tests/test_checkpoint.py."""
+    p = jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)),
+                               params)
+    L = config.num_layers
+    sd: Dict[str, np.ndarray] = {}
+
+    sd["pos_embed_TSC"] = p["pos_embed_TSC"]
+    sd["token_embed.mask_token_embed"] = \
+        p["token_embed"]["mask_token_embed"][None]
+    for k in range(config.num_factored_vocabs):
+        sd[f"token_embed.factored_embeds.{k}.weight"] = \
+            p["token_embed"][f"factored_embeds_{k}"]["embedding"]
+    sd["out_x_proj.weight"] = p["out_x_proj"]["kernel"].T
+    sd["out_x_proj.bias"] = p["out_x_proj"]["bias"]
+
+    def layer_of(i: int) -> Dict[str, Any]:
+        if config.scan_layers:
+            return jax.tree_util.tree_map(lambda a: a[i],
+                                          p["decoder"]["layers"])
+        return p["decoder"][f"layers_{i}"]
+
+    for i in range(L):
+        lp = layer_of(i)
+        pre = f"decoder.layers.{i}"
+        for name in ("spatial_attn", "temporal_attn"):
+            ap = lp[name]
+            sd[f"{pre}.{name}.qkv.weight"] = ap["qkv"]["kernel"].T
+            if "bias" in ap["qkv"]:
+                sd[f"{pre}.{name}.qkv.bias"] = ap["qkv"]["bias"]
+            sd[f"{pre}.{name}.proj.weight"] = ap["proj"]["kernel"].T
+            sd[f"{pre}.{name}.proj.bias"] = ap["proj"]["bias"]
+            if "norm" in ap:
+                sd[f"{pre}.{name}.norm.weight"] = ap["norm"]["scale"]
+                sd[f"{pre}.{name}.norm.bias"] = ap["norm"]["bias"]
+        for norm in ("norm1", "norm2"):
+            if norm in lp:
+                sd[f"{pre}.{norm}.weight"] = lp[norm]["scale"]
+                sd[f"{pre}.{norm}.bias"] = lp[norm]["bias"]
+        sd[f"{pre}.mlp.fc1.weight"] = lp["mlp"]["fc1"]["kernel"].T
+        sd[f"{pre}.mlp.fc1.bias"] = lp["mlp"]["fc1"]["bias"]
+        sd[f"{pre}.mlp.fc2.weight"] = lp["mlp"]["fc2"]["kernel"].T
+        sd[f"{pre}.mlp.fc2.bias"] = lp["mlp"]["fc2"]["bias"]
+
+    # reference ecosystem loads fp32; cast any bf16 leaves
+    return {k: np.ascontiguousarray(v, dtype=np.float32)
+            if v.dtype != np.float32 else np.ascontiguousarray(v)
+            for k, v in sd.items()}
+
+
+def save_pretrained_torch(save_dir, params: Any, config: GenieConfig) -> None:
+    """Write `model.safetensors` + `config.json` in the reference layout
+    (PyTorchModelHubMixin contract, st_mask_git.py:29,306-313): a tpu1x-
+    trained model becomes loadable by the reference's
+    `STMaskGIT.from_pretrained(dir)`."""
+    from safetensors.numpy import save_file
+    save_dir = Path(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    config.save_pretrained(save_dir / "config.json")
+    sd = convert_to_torch_state_dict(params, config)
+    save_file(sd, str(save_dir / "model.safetensors"))
 
 
 def load_torch_checkpoint(path, config: GenieConfig) -> Any:

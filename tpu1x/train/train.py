@@ -152,7 +152,15 @@ def main(argv=None):
 
     metadata = train_dataset.metadata
     config = GenieConfig.from_pretrained(args.genie_config)
-    config.use_mup = args.mu_transfer
+    # --mu_transfer opts IN to muP (reference train.py:427-441); omitting the
+    # flag must NOT silently disable muP for a config JSON that declares it.
+    if args.mu_transfer:
+        config.use_mup = True
+    elif config.use_mup:
+        print("warning: config declares use_mup=true; honoring it although "
+              "--mu_transfer was not passed (optimizer muP scaling follows "
+              "the config)")
+        args.mu_transfer = True  # keep optimizer muP scaling consistent
     config.image_vocab_size = metadata["vocab_size"]
     config.T = args.window_size
     config.S = metadata["s"] ** 2
@@ -329,6 +337,13 @@ def main(argv=None):
     ckpt.save(state, "final_checkpt", wait=True)
     save_pretrained(Path(args.output_dir) / "final_checkpt_hf", state.params,
                     config)
+    if jax.process_index() == 0:
+        # reference-ecosystem export: model.safetensors + config.json that
+        # the reference's STMaskGIT.from_pretrained can load directly
+        # (st_mask_git.py:306-313)
+        from tpu1x.train.checkpoint import save_pretrained_torch
+        save_pretrained_torch(Path(args.output_dir) / "final_checkpt_hf",
+                              state.params, config)
     print("training done")
 
 
