@@ -25,7 +25,20 @@ def main():
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--maskgit_steps", type=int, default=2)
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--cache_dtype", default="int8",
+                   choices=["bf16", "int8"],
+                   help="serving KV-cache dtype (int8 halves the "
+                        "bandwidth-bound cache stream)")
     args = p.parse_args()
+
+    try:  # persistent compile cache (shared with bench.py)
+        import os
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(repo, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from tpu1x.model_zoo import MODEL_ZOO
     from tpu1x.models.st_maskgit import STMaskGIT
@@ -47,7 +60,8 @@ def main():
 
     mesh = make_mesh() if jax.device_count() > 1 else None
     engine = RolloutEngine(model, params, config, mesh=mesh,
-                           maskgit_steps=args.maskgit_steps)
+                           maskgit_steps=args.maskgit_steps,
+                           cache_dtype=args.cache_dtype)
 
     def gen(rng):
         out = engine.rollout(prompt, num_new, rng)

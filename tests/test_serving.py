@@ -378,6 +378,9 @@ def test_pallas_decode_kernel_int8_parity_interpret():
     tB = jnp.array([1, 2, 3, 4], jnp.int32)
     kq, ksc = quantize_kv(kc)
     vq, vsc = quantize_kv(vc)
+    # kernel scale layout is layer-major (L, B, T, S)
+    ksc_lbts = jnp.transpose(ksc, (1, 2, 0, 3))
+    vsc_lbts = jnp.transpose(vsc, (1, 2, 0, 3))
     for layer in (0, 2):
         deq_k = dequantize_kv(kq, ksc).astype(jnp.bfloat16)
         deq_v = dequantize_kv(vq, vsc).astype(jnp.bfloat16)
@@ -386,7 +389,7 @@ def test_pallas_decode_kernel_int8_parity_interpret():
             num_heads=H)
         out = temporal_decode_attention(
             q, kq, vq, kcur, vcur, tB, layer=layer, scale=0.25, num_heads=H,
-            tile_s=16, interpret=True, k_scale=ksc, v_scale=vsc)
+            tile_s=16, interpret=True, k_scale=ksc_lbts, v_scale=vsc_lbts)
         np.testing.assert_allclose(np.asarray(out, np.float32),
                                    np.asarray(ref, np.float32),
                                    atol=3e-2, rtol=3e-2)
@@ -406,6 +409,9 @@ def test_pallas_decode2_kernel_int8_parity_interpret():
     tB = jnp.array([1, 2, 4], jnp.int32)
     kq, ksc = quantize_kv(kc)
     vq, vsc = quantize_kv(vc)
+    # kernel scale layout is layer-major (L, B, T, S)
+    ksc_lbts = jnp.transpose(ksc, (1, 2, 0, 3))
+    vsc_lbts = jnp.transpose(vsc, (1, 2, 0, 3))
     for layer in (0, 1):
         deq_k = dequantize_kv(kq, ksc).astype(jnp.bfloat16)
         deq_v = dequantize_kv(vq, vsc).astype(jnp.bfloat16)
@@ -414,7 +420,7 @@ def test_pallas_decode2_kernel_int8_parity_interpret():
             scale=0.25, num_heads=H)
         got_p, got_c = temporal_decode2_attention(
             qp, qc, kq, vq, kp, vp, kcur, vcur, tB, layer=layer, scale=0.25,
-            num_heads=H, tile_s=16, interpret=True, k_scale=ksc, v_scale=vsc)
+            num_heads=H, tile_s=16, interpret=True, k_scale=ksc_lbts, v_scale=vsc_lbts)
         np.testing.assert_allclose(np.asarray(got_p, np.float32),
                                    np.asarray(want_p, np.float32),
                                    atol=3e-2, rtol=3e-2)

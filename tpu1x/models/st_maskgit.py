@@ -239,16 +239,20 @@ def update_cache(cache: Dict[str, jnp.ndarray], kv_cur, t) -> Dict[str, jnp.ndar
     idx = (jnp.asarray(t, jnp.int32), 0, 0, 0, 0)
     if "k_scale" in cache:
         from tpu1x.ops.decode_attention import quantize_kv
-        kq, ks = quantize_kv(k_cur)
+        kq, ks = quantize_kv(k_cur)  # scales (1, L, B, S)
         vq, vs = quantize_kv(v_cur)
-        idx4 = idx[:4]
+        # scale store is layer-major (L, B, T, S); frame t is the (. , ., t)
+        # column — see tpu1x/serving.py prefill
+        ks = jnp.transpose(ks, (1, 2, 0, 3))  # (L, B, 1, S)
+        vs = jnp.transpose(vs, (1, 2, 0, 3))
+        idx_s = (0, 0, jnp.asarray(t, jnp.int32), 0)
         return {
             "k": jax.lax.dynamic_update_slice(cache["k"], kq, idx),
             "v": jax.lax.dynamic_update_slice(cache["v"], vq, idx),
             "k_scale": jax.lax.dynamic_update_slice(cache["k_scale"], ks,
-                                                    idx4),
+                                                    idx_s),
             "v_scale": jax.lax.dynamic_update_slice(cache["v_scale"], vs,
-                                                    idx4),
+                                                    idx_s),
         }
     return {"k": jax.lax.dynamic_update_slice(cache["k"], k_cur, idx),
             "v": jax.lax.dynamic_update_slice(cache["v"], v_cur, idx)}

@@ -120,8 +120,30 @@ class STBlock(nn.Module):
         x = x_BTSC + self.spatial_attn(h, causal=False,
                                        deterministic=self.deterministic)
 
-        # Temporal attention: (B, S) batch dims, sequence axis T. Causal.
-        # NOTE: no pre-norm (reference st_transformer.py:78).
+        # Temporal attention: causal over T. NOTE: no pre-norm (reference
+        # st_transformer.py:78).
+        from tpu1x.ops.attention import resolve_attn_impl
+        use_fused_temporal = (
+            resolve_attn_impl(self.attn_impl) == "pallas"
+            and not self.qk_norm and not collect_kv
+            and (self.deterministic or self.attn_drop == 0.0))
+        if use_fused_temporal:
+            # spatial-major fused kernel: no (B, S, T, C) transpose, no
+            # head-split layouts, no HBM (T, T) logits — the measured
+            # dominant cost of the train step (tpu1x/ops/temporal_attention)
+            from tpu1x.ops.temporal_attention import temporal_attention
+            qkv = self.temporal_attn.qkv(x)  # (B, T, S, 3C)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            out = temporal_attention(q, k, v,
+                                     scale=self.temporal_attn.scale,
+                                     num_heads=self.num_heads, causal=True)
+            x = x + self.temporal_attn.proj(out)
+            h = self._n2(x).astype(self.dtype)
+            x = x + self.mlp(h)
+            return x, None
+
+        # transposed-layout path ((B, S) batch dims, sequence axis T) — the
+        # parity oracle, and the route for qk_norm / prefill KV collection
         x_BSTC = jnp.swapaxes(x, 1, 2)
         if collect_kv:
             q, k, v = self.temporal_attn.compute_qkv(x_BSTC)

@@ -103,12 +103,15 @@ def _kernel(s_ref, q_ref, kc_ref, vc_ref, *rest, scale: float,
     # layer is consumed by the cache BlockSpec index_map.
     # quantized: cache blocks are int8 with per-token fp32 scales; the
     # scales fold into the (T, TS, H) logits / probabilities, so no
-    # (T, TS, C) dequantized copy ever materializes.
+    # (T, TS, C) dequantized copy ever materializes. Scale refs are the
+    # layer's full (1, B, T, S) slab (Mosaic requires the last two block
+    # dims full/aligned; the slab is tiny and DMA'd once per layer).
     if quantized:
         ksc_ref, vsc_ref, kcur_ref, vcur_ref, o_ref = rest
     else:
         kcur_ref, vcur_ref, o_ref = rest
     b = pl.program_id(0)
+    st = pl.program_id(1)
     tb = s_ref[1 + b]
     q = q_ref[0]                              # (TS, C) bf16
     kcur = kcur_ref[0]
@@ -129,7 +132,8 @@ def _kernel(s_ref, q_ref, kc_ref, vc_ref, *rest, scale: float,
                      preferred_element_type=jnp.float32)
     logits = logits.reshape(T, TS, H) * scale
     if quantized:
-        logits = logits * ksc_ref[:, 0, 0][:, :, None]  # (T, TS) k scales
+        ksc = ksc_ref[0, b, :, pl.ds(st * TS, TS)]  # (T, TS) k scales
+        logits = logits * ksc[:, :, None]
     logit_s = jnp.dot(q * kcur, E,
                       preferred_element_type=jnp.float32) * scale  # (TS, H)
     t_iota = jax.lax.broadcasted_iota(jnp.int32, (T, TS, H), 0)
@@ -141,7 +145,8 @@ def _kernel(s_ref, q_ref, kc_ref, vc_ref, *rest, scale: float,
     denom = e_c.sum(axis=0) + e_s  # (TS, H)
     p = e_c / denom[None, :, :]  # (T, TS, H)
     if quantized:
-        p = p * vsc_ref[:, 0, 0][:, :, None]  # fold v scales into probs
+        vsc = vsc_ref[0, b, :, pl.ds(st * TS, TS)]  # (T, TS) v scales
+        p = p * vsc[:, :, None]  # fold v scales into probs
     p = p.astype(cd)
     p_exp = jnp.dot(p.reshape(T * TS, H), E.T,
                     preferred_element_type=jnp.float32
@@ -200,6 +205,7 @@ def _kernel2(s_ref, qp_ref, qc_ref, kc_ref, vc_ref, *rest, scale: float,
     else:
         kp_ref, vp_ref, kcur_ref, vcur_ref, op_ref, oc_ref = rest
     b = pl.program_id(0)
+    st = pl.program_id(1)
     tb = s_ref[1 + b]  # t_prev
     qp = qp_ref[0]                            # (TS, C) bf16
     qc = qc_ref[0]
@@ -222,7 +228,8 @@ def _kernel2(s_ref, qp_ref, qc_ref, kc_ref, vc_ref, *rest, scale: float,
                       preferred_element_type=jnp.float32)
         out = out.reshape(T, TS, H) * scale
         if quantized:
-            out = out * ksc_ref[:, 0, 0][:, :, None]
+            ksc = ksc_ref[0, b, :, pl.ds(st * TS, TS)]  # (T, TS)
+            out = out * ksc[:, :, None]
         return out
 
     def extra_logit(q, key):  # (TS, H)
@@ -245,7 +252,8 @@ def _kernel2(s_ref, qp_ref, qc_ref, kc_ref, vc_ref, *rest, scale: float,
             denom = denom + e
         p = e_c / denom[None, :, :]  # (T, TS, H)
         if quantized:
-            p = p * vsc_ref[:, 0, 0][:, :, None]  # fold v scales into probs
+            vsc = vsc_ref[0, b, :, pl.ds(st * TS, TS)]  # (T, TS)
+            p = p * vsc[:, :, None]  # fold v scales into probs
         p = p.astype(cd)
         p_exp = jnp.dot(p.reshape(T * TS, H), E.T,
                         preferred_element_type=jnp.float32
@@ -289,6 +297,8 @@ def temporal_decode2_attention(q_prev, q_cur, k_cache, v_cache, k_prev,
     B, S, C = q_prev.shape
     T, L = k_cache.shape[:2]
     quantized = k_scale is not None
+    if quantized and tile_s < 128:
+        tile_s = 128  # scale-slice lane alignment (see decode kernel)
     while S % tile_s:
         tile_s //= 2
     scalars = jnp.concatenate([
@@ -301,7 +311,7 @@ def temporal_decode2_attention(q_prev, q_cur, k_cache, v_cache, k_prev,
         (T, 1, 1, tile_s, C), lambda b, st, s: (0, s[0], b, st, 0),
         memory_space=pltpu.VMEM)
     scale_spec = pl.BlockSpec(
-        (T, 1, 1, tile_s), lambda b, st, s: (0, s[0], b, st),
+        (1, B, T, S), lambda b, st, s: (s[0], 0, 0, 0),
         memory_space=pltpu.VMEM)
     grid = (B, S // tile_s)
     bytes_cache = 2 * tile_s * T * C * k_cache.dtype.itemsize
@@ -346,8 +356,10 @@ def temporal_decode_attention(q, k_cache, v_cache, k_cur, v_cur, t_B, *,
         q, k_cur, v_cur: (B, S, C).
         k_cache, v_cache: (T, L, B, S, C) — the FULL stacked T-major cache;
             only the blocks of `layer` are streamed from HBM. May be int8
-            (with `k_scale`/`v_scale` (T, L, B, S) float32 per-token scales)
-            — halves the HBM bytes of the bandwidth-bound cache stream.
+            (with `k_scale`/`v_scale` (L, B, T, S) float32 per-token scales
+            — layer-major so one layer's scale slab is a contiguous,
+            Mosaic-aligned (1, B, T, S) block) — halves the HBM bytes of
+            the bandwidth-bound cache stream.
         t_B: (B,) int32 per-row frame index.
         layer: int or traced int32 scalar (scalar-prefetched into the cache
             index_map — usable inside a lax.scan over layers).
@@ -356,6 +368,10 @@ def temporal_decode_attention(q, k_cache, v_cache, k_cur, v_cur, t_B, *,
     B, S, C = q.shape
     T, L = k_cache.shape[:2]
     quantized = k_scale is not None
+    if quantized and tile_s < 128:
+        # the in-kernel scale slice offset st*tile_s must be provably
+        # 128-aligned on the lane dim (Mosaic), so tiles are >=128 (or == S)
+        tile_s = 128
     while S % tile_s:
         tile_s //= 2
     scalars = jnp.concatenate([
@@ -368,7 +384,7 @@ def temporal_decode_attention(q, k_cache, v_cache, k_cur, v_cur, t_B, *,
         (T, 1, 1, tile_s, C), lambda b, st, s: (0, s[0], b, st, 0),
         memory_space=pltpu.VMEM)
     scale_spec = pl.BlockSpec(
-        (T, 1, 1, tile_s), lambda b, st, s: (0, s[0], b, st),
+        (1, B, T, S), lambda b, st, s: (s[0], 0, 0, 0),
         memory_space=pltpu.VMEM)
     grid = (B, S // tile_s)
     bytes_cache = 2 * tile_s * T * C * k_cache.dtype.itemsize

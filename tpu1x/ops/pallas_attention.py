@@ -31,6 +31,10 @@ _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool):
+    # NOTE: a head-batched variant (grid (B,), block (1, N, H, D), static
+    # head loop, no external transposes) fails Mosaic lowering today
+    # ("infer-vector-layout: unsupported shape cast" slicing the middle H
+    # dim), so the kernel stays per-(batch, head).
     q = q_ref[0, 0].astype(jnp.float32)  # (N, D)
     k = k_ref[0, 0].astype(jnp.float32)
     v = v_ref[0, 0]
@@ -38,7 +42,6 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool):
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (N, N)
-
     if causal:
         n = logits.shape[0]
         row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
@@ -79,6 +82,70 @@ def _flash_mha_bhnd(q, k, v, *, scale: float, causal: bool,
     )(q, k, v)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+                     scale: float, causal: bool):
+    """Fused attention backward for one (batch, head): recompute the (N, N)
+    probabilities in VMEM (flash-style — the forward saves nothing), then
+    the standard attention VJP with 4 MXU dots. Nothing (N, N)-shaped ever
+    touches HBM; without this, XLA materializes three fp32 (B, H, N, N)
+    tensors per layer per backward (the dominant cost of the measured
+    12.8%-MFU train step, benchmarks/profile_train.py)."""
+    q = q_ref[0, 0].astype(jnp.float32)  # (N, D)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (N, N)
+    if causal:
+        n = logits.shape[0]
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        logits = jnp.where(row >= col, logits, _NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # (N, N)
+
+    # dv = p^T do ; dp = do v^T ; ds = p * (dp - rowsum(dp*p)) ;
+    # dq = ds k * scale ; dk = ds^T q * scale
+    dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "causal", "interpret"))
+def _flash_mha_bwd_bhnd(q, k, v, dout, *, scale: float, causal: bool,
+                        interpret: bool = False):
+    """q, k, v, dout: (B, H, N, D) -> (dq, dk, dv) same layout."""
+    B, H, N, D = q.shape
+    spec = pl.BlockSpec((1, 1, N, D), lambda b, h: (b, h, 0, 0),
+                        memory_space=pltpu.VMEM)
+    sd = jax.ShapeDtypeStruct((B, H, N, D), q.dtype)
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale, causal=causal),
+        out_shape=(sd, sd, sd),
+        grid=(B, H),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * B * H * N * N * D,
+            bytes_accessed=7 * B * H * N * D * q.dtype.itemsize,
+            transcendentals=B * H * N * N,
+        ),
+        interpret=interpret,
+    )(q, k, v, dout)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _flash_mha_diff(scale, causal, interpret, q, k, v):
     return _flash_mha_bhnd(q, k, v, scale=scale, causal=causal,
@@ -100,10 +167,14 @@ def _flash_mha_fwd(scale, causal, interpret, q, k, v):
 
 
 def _flash_mha_bwd(scale, causal, interpret, res, dout):
-    """Flash-style backward: recompute probabilities (the forward saves no
-    (N, N) tensor), then the standard attention VJP. Pure jnp — XLA fuses it
-    well at ST sizes; the forward kernel's memory win is preserved under
-    remat (the block is recomputed anyway)."""
+    q, k, v = res
+    dq, dk, dv = _flash_mha_bwd_bhnd(q, k, v, dout, scale=scale,
+                                     causal=causal, interpret=interpret)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def _flash_mha_bwd_jnp(scale, causal, res, dout):
+    """jnp oracle for the backward kernel (kept for parity tests)."""
     q, k, v = res
     p = _recompute_probs(scale, causal, q, k)  # (B, H, N, N) fp32
     doutf = dout.astype(jnp.float32)
@@ -119,14 +190,17 @@ _flash_mha_diff.defvjp(_flash_mha_fwd, _flash_mha_bwd)
 
 
 def flash_mha(q, k, v, *, scale: float, causal: bool = False,
-              interpret: bool = False):
+              interpret: bool = None):
     """Fused MHA matching `mha_reference`'s contract; differentiable
-    (custom VJP with probability recompute, flash-style).
+    (custom VJP with a fused backward kernel, flash-style).
 
     Args:
         q, k, v: (..., N, num_heads, head_dim); arbitrary leading batch dims.
+        interpret: None auto-selects interpret mode off-TPU.
     Returns: (..., N, num_heads, head_dim) in v.dtype.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     *batch, N, H, D = q.shape
     bsz = 1
     for b in batch:

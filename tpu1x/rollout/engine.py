@@ -44,7 +44,7 @@ class RolloutEngine:
 
     def __init__(self, model: STMaskGIT, params: Any, config: GenieConfig,
                  mesh=None, maskgit_steps: int = 2, temperature: float = 0.0,
-                 decode: str = "cached"):
+                 decode: str = "cached", cache_dtype: str = "bf16"):
         assert decode in ("cached", "full"), decode
         self.model = model
         self.params = params
@@ -57,7 +57,9 @@ class RolloutEngine:
         if (decode == "cached" and jax.default_backend() == "tpu"
                 and config.scan_layers):
             from tpu1x.serving import DecodeEngine, prepare_serving_params
-            self._serving = DecodeEngine(config)
+            # cache_dtype="int8" halves the bandwidth-bound cache stream
+            # (parity vs bf16: tests/test_serving.py, tpu_kernel_check.py)
+            self._serving = DecodeEngine(config, cache_dtype=cache_dtype)
             self.params = prepare_serving_params(params)
         self._rollout_jit = {}
         self._score_jit = {}

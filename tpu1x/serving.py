@@ -104,6 +104,13 @@ class DecodeEngine:
         # cache stream. Parity vs the bf16 oracle in tests/test_serving.py.
         assert cache_dtype in ("bf16", "int8"), cache_dtype
         self.cache_dtype = cache_dtype
+        # decode-step spatial attention: "xla" default — measured faster
+        # than routing through the flash kernel at decode shapes (6.05 vs
+        # 6.62 ms/frame, GENIE_138M B=16: the kernel's (B,N,H,D)<->(B,H,N,D)
+        # transposes outweigh its fused softmax for a forward-only pass)
+        import os
+        self.spatial_attn_impl = os.environ.get(
+            "TPU1X_DECODE_SPATIAL_IMPL", "xla")
         # prefill's bidirectional spatial attention is a separate choice from
         # the decode kernel: XLA's fused attention beats the flash kernel at
         # prefill shapes (S=256, head_dim 32-64; measured 830 -> 795 ms per
@@ -163,8 +170,13 @@ class DecodeEngine:
 
         def heads(t):
             return t.reshape(B, S, H, D)
-        out = mha_reference(heads(q), heads(k), heads(v), scale=self.scale,
+        if self.spatial_attn_impl == "pallas":
+            from tpu1x.ops.pallas_attention import flash_mha
+            out = flash_mha(heads(q), heads(k), heads(v), scale=self.scale,
                             causal=False)
+        else:
+            out = mha_reference(heads(q), heads(k), heads(v),
+                                scale=self.scale, causal=False)
         return self._dense(out.reshape(B, S, C), p["proj"]["kernel"],
                            p["proj"].get("bias"))
 
@@ -173,10 +185,11 @@ class DecodeEngine:
         from tpu1x.ops.decode_attention import dequantize_kv
         k_l, v_l = cache["k"][:, layer], cache["v"][:, layer]
         if "k_scale" in cache:
-            k_l = dequantize_kv(k_l, cache["k_scale"][:, layer]).astype(
-                self.dtype)
-            v_l = dequantize_kv(v_l, cache["v_scale"][:, layer]).astype(
-                self.dtype)
+            # scales are (L, B, T, S) -> this layer's (T, B, S)
+            ks = jnp.transpose(cache["k_scale"][layer], (1, 0, 2))
+            vs = jnp.transpose(cache["v_scale"][layer], (1, 0, 2))
+            k_l = dequantize_kv(k_l, ks).astype(self.dtype)
+            v_l = dequantize_kv(v_l, vs).astype(self.dtype)
         return k_l, v_l
 
     def _temporal_attn(self, p, x_BSC, cache, layer, t_B):
@@ -275,22 +288,44 @@ class DecodeEngine:
             k = jnp.transpose(k, (3, 2, 0, 1, 4))  # (P, L, B, S, C)
             v = jnp.transpose(v, (3, 2, 0, 1, 4))
         else:
-            def body(x, lp_l):
-                x, k, v = self._prefill_layer(lp_l, x)
-                return x, (k, v)
-            x, (ks, vs) = jax.lax.scan(body, x, lp)  # (L, B, S, P, C)
-            k = jnp.transpose(ks, (3, 0, 1, 2, 4))  # (P, L, B, S, C)
-            v = jnp.transpose(vs, (3, 0, 1, 2, 4))
-        pad = cfg.T - P
+            # write each layer's K/V straight into the final T-major cache
+            # inside the scan (carry updated in place by XLA) — the stacked
+            # (L, B, S, P, C) ys + big transpose + pad of the naive version
+            # cost ~3 extra full-cache HBM passes (measured ~11% of rollout
+            # wall, benchmarks/profile_gen.py)
+            L = cfg.num_layers
+            kc0 = jnp.zeros((cfg.T, L, B, S, cfg.d_model), self.dtype)
+            vc0 = jnp.zeros_like(kc0)
+
+            def body(carry, xs):
+                x, kc, vc = carry
+                lp_l, li = xs
+                x, k_l, v_l = self._prefill_layer(lp_l, x)  # (B, S, P, C)
+                kT = jnp.transpose(k_l, (2, 0, 1, 3))[:, None]  # (P,1,B,S,C)
+                vT = jnp.transpose(v_l, (2, 0, 1, 3))[:, None]
+                idx = (0, li, 0, 0, 0)
+                kc = jax.lax.dynamic_update_slice(kc, kT, idx)
+                vc = jax.lax.dynamic_update_slice(vc, vT, idx)
+                return (x, kc, vc), None
+
+            lis = jnp.arange(L, dtype=jnp.int32)
+            (x, k, v), _ = jax.lax.scan(body, (x, kc0, vc0), (lp, lis))
+            pad = 0
+        if self.layers_mode == "unroll":
+            pad = cfg.T - P
         if pad > 0:
             widths = [(0, pad), (0, 0), (0, 0), (0, 0), (0, 0)]
             k = jnp.pad(k, widths)
             v = jnp.pad(v, widths)
         if self.cache_dtype == "int8":
             from tpu1x.ops.decode_attention import quantize_kv
-            kq, ks = quantize_kv(k)
+            kq, ks = quantize_kv(k)  # scales (T, L, B, S)
             vq, vs = quantize_kv(v)
-            return {"k": kq, "v": vq, "k_scale": ks, "v_scale": vs}
+            # scales stored layer-major (L, B, T, S): one layer's slab is a
+            # contiguous Mosaic-aligned (1, B, T, S) kernel block
+            to_lbts = lambda s: jnp.transpose(s, (1, 2, 0, 3))  # noqa: E731
+            return {"k": kq, "v": vq,
+                    "k_scale": to_lbts(ks), "v_scale": to_lbts(vs)}
         return {"k": k, "v": v}
 
     def _prefill_layer(self, lp, x_BPSC):
