@@ -427,3 +427,21 @@ def test_pallas_decode2_kernel_int8_parity_interpret():
         np.testing.assert_allclose(np.asarray(got_c, np.float32),
                                    np.asarray(want_c, np.float32),
                                    atol=3e-2, rtol=3e-2)
+
+
+def test_engine_prefill_fused_temporal_matches_flax():
+    """Engine prefill with the spatial-major fused temporal kernel
+    (attn_impl="pallas", interpret on CPU) == the flax oracle cache."""
+    cfg, model, params = setup_model()
+    B = 3
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (B, 2, 4, 4), 0,
+                                cfg.image_vocab_size, dtype=jnp.int32)
+    ref = model.apply({"params": params}, prompt, method=STMaskGIT.prefill)
+    engine = DecodeEngine(cfg, attn_impl="pallas")
+    sparams = prepare_serving_params(params)
+    got = engine.prefill(sparams, prompt)
+    for key in ("k", "v"):
+        assert got[key].shape == ref[key].shape
+        np.testing.assert_allclose(np.asarray(got[key], np.float32),
+                                   np.asarray(ref[key], np.float32),
+                                   atol=2e-2, rtol=2e-2)

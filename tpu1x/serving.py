@@ -352,8 +352,24 @@ class DecodeEngine:
                           lp["spatial_attn"]["proj"].get("bias"))
         x = x_BPSC + out.reshape(B, P, S, C)
 
-        # temporal (causal over P, no pre-norm — st_transformer.py:78).
-        # XLA impl: the P axis is tiny (<=16), far below flash-kernel tiles.
+        # temporal (causal over P, no pre-norm — st_transformer.py:78) in the
+        # native spatial-major layout via the fused kernel — no
+        # (B, S, P, C) transpose, no head-split tensors (measured as the
+        # prefill's dominant fusions/copies, benchmarks/profile_gen.py).
+        # qk_norm needs per-head LN on q/k — the transposed oracle path.
+        if not cfg.qk_norm and self.attn_impl == "pallas":
+            from tpu1x.ops.temporal_attention import temporal_attention
+            q, k, v = self._qkv(lp["temporal_attn"], x)  # (B, P, S, C)
+            out = temporal_attention(q, k, v, scale=self.scale,
+                                     num_heads=cfg.num_heads, causal=True)
+            out = self._dense(out, lp["temporal_attn"]["proj"]["kernel"],
+                              lp["temporal_attn"]["proj"].get("bias"))
+            x = x + out
+            x = x + self._mlp(lp["mlp"], n2(x))
+            # cache layout (B, S, P, C)
+            kv = (jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2))
+            return x, kv[0], kv[1]
+
         x_BSPC = jnp.swapaxes(x, 1, 2)
         q, k, v = self._qkv(lp["temporal_attn"],
                             x_BSPC.reshape(B * S, P, C))
