@@ -56,10 +56,13 @@ def main():
     # cold compile; the committed .jax_cache makes driver reruns warm),
     # fused Pallas decode-attention kernels (tpu1x/serving.py). The KV
     # cache dtype is selectable (int8 halves the bandwidth-bound stream).
+    # bf16 cache default: int8 measured neutral-to-slightly-slower at this
+    # shape (6.17 vs 6.04 ms/frame — decode is not cache-bandwidth-bound
+    # here); it remains available for larger caches via TPU1X_CACHE_DTYPE.
     sparams = prepare_serving_params(params)
     engine = DecodeEngine(config,
                           cache_dtype=os.environ.get("TPU1X_CACHE_DTYPE",
-                                                     "int8"),
+                                                     "bf16"),
                           layers_mode=os.environ.get("TPU1X_LAYERS_MODE",
                                                      "scan"))
 
