@@ -30,33 +30,35 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool):
-    # NOTE: a head-batched variant (grid (B,), block (1, N, H, D), static
-    # head loop, no external transposes) fails Mosaic lowering today
-    # ("infer-vector-layout: unsupported shape cast" slicing the middle H
-    # dim), so the kernel stays per-(batch, head).
-    q = q_ref[0, 0].astype(jnp.float32)  # (N, D)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0]
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
+                 num_heads: int):
+    """All heads of one batch row per program, H as a LEADING block dim
+    (sliceable, unlike the middle dim of an (N, H, D) block which fails
+    Mosaic's layout inference): 16x fewer grid launches than a per-(b, h)
+    grid and one DMA per operand row."""
+    n = q_ref.shape[2]
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    for h in range(num_heads):
+        q = q_ref[0, h].astype(jnp.float32)  # (N, D)
+        k = k_ref[0, h].astype(jnp.float32)
+        v = v_ref[0, h]
 
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (N, N)
-    if causal:
-        n = logits.shape[0]
-        row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-        logits = jnp.where(row >= col, logits, _NEG_INF)
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (N, N)
+        if causal:
+            logits = jnp.where(row >= col, logits, _NEG_INF)
 
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    probs = p / jnp.sum(p, axis=-1, keepdims=True)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        probs = p / jnp.sum(p, axis=-1, keepdims=True)
 
-    out = jax.lax.dot_general(
-        probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+        out = jax.lax.dot_general(
+            probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, h] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "causal", "interpret"))
@@ -64,13 +66,14 @@ def _flash_mha_bhnd(q, k, v, *, scale: float, causal: bool,
                     interpret: bool = False):
     """q, k, v: (B, H, N, D) -> (B, H, N, D)."""
     B, H, N, D = q.shape
-    spec = pl.BlockSpec((1, 1, N, D), lambda b, h: (b, h, 0, 0),
+    spec = pl.BlockSpec((1, H, N, D), lambda b: (b, 0, 0, 0),
                         memory_space=pltpu.VMEM)
     bytes_per = N * D * (q.dtype.itemsize + k.dtype.itemsize + 2 * v.dtype.itemsize)
     return pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, causal=causal),
+        functools.partial(_attn_kernel, scale=scale, causal=causal,
+                          num_heads=H),
         out_shape=jax.ShapeDtypeStruct((B, H, N, D), v.dtype),
-        grid=(B, H),
+        grid=(B,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
         cost_estimate=pl.CostEstimate(
@@ -83,44 +86,46 @@ def _flash_mha_bhnd(q, k, v, *, scale: float, causal: bool,
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
-                     scale: float, causal: bool):
-    """Fused attention backward for one (batch, head): recompute the (N, N)
+                     scale: float, causal: bool, num_heads: int):
+    """Fused attention backward, all heads of one batch row per program
+    (H as a leading, sliceable block dim): recompute the (N, N)
     probabilities in VMEM (flash-style — the forward saves nothing), then
-    the standard attention VJP with 4 MXU dots. Nothing (N, N)-shaped ever
-    touches HBM; without this, XLA materializes three fp32 (B, H, N, N)
-    tensors per layer per backward (the dominant cost of the measured
-    12.8%-MFU train step, benchmarks/profile_train.py)."""
-    q = q_ref[0, 0].astype(jnp.float32)  # (N, D)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
+    the standard attention VJP with 4 MXU dots per head. Nothing
+    (N, N)-shaped ever touches HBM; without this, XLA materializes three
+    fp32 (B, H, N, N) tensors per layer per backward (the dominant cost of
+    the measured 12.8%-MFU train step, benchmarks/profile_train.py)."""
+    n = q_ref.shape[2]
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    for h in range(num_heads):
+        q = q_ref[0, h].astype(jnp.float32)  # (N, D)
+        k = k_ref[0, h].astype(jnp.float32)
+        v = v_ref[0, h].astype(jnp.float32)
+        do = do_ref[0, h].astype(jnp.float32)
 
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (N, N)
-    if causal:
-        n = logits.shape[0]
-        row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-        logits = jnp.where(row >= col, logits, _NEG_INF)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)  # (N, N)
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (N, N)
+        if causal:
+            logits = jnp.where(row >= col, logits, _NEG_INF)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # (N, N)
 
-    # dv = p^T do ; dp = do v^T ; ds = p * (dp - rowsum(dp*p)) ;
-    # dq = ds k * scale ; dk = ds^T q * scale
-    dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32) * scale
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+        # dv = p^T do ; dp = do v^T ; ds = p * (dp - rowsum(dp*p)) ;
+        # dq = ds k * scale ; dk = ds^T q * scale
+        dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        dq_ref[0, h] = dq.astype(dq_ref.dtype)
+        dk_ref[0, h] = dk.astype(dk_ref.dtype)
+        dv_ref[0, h] = dv.astype(dv_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "causal", "interpret"))
@@ -128,13 +133,14 @@ def _flash_mha_bwd_bhnd(q, k, v, dout, *, scale: float, causal: bool,
                         interpret: bool = False):
     """q, k, v, dout: (B, H, N, D) -> (dq, dk, dv) same layout."""
     B, H, N, D = q.shape
-    spec = pl.BlockSpec((1, 1, N, D), lambda b, h: (b, h, 0, 0),
+    spec = pl.BlockSpec((1, H, N, D), lambda b: (b, 0, 0, 0),
                         memory_space=pltpu.VMEM)
     sd = jax.ShapeDtypeStruct((B, H, N, D), q.dtype)
     return pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, scale=scale, causal=causal),
+        functools.partial(_attn_bwd_kernel, scale=scale, causal=causal,
+                          num_heads=H),
         out_shape=(sd, sd, sd),
-        grid=(B, H),
+        grid=(B,),
         in_specs=[spec, spec, spec, spec],
         out_specs=(spec, spec, spec),
         cost_estimate=pl.CostEstimate(
