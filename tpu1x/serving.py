@@ -116,7 +116,10 @@ class DecodeEngine:
         # prefill shapes (S=256, head_dim 32-64; measured 830 -> 795 ms per
         # GENIE_138M b16 rollout batch, benchmarks/profile_gen.py), while the
         # fused cache-streaming kernel wins decode (957 vs 1274 ms).
-        self.prefill_attn_impl = prefill_attn_impl or "xla"
+        import os as _os
+        self.prefill_attn_impl = (prefill_attn_impl
+                                  or _os.environ.get(
+                                      "TPU1X_PREFILL_SPATIAL_IMPL", "xla"))
         cfg = config
         self.head_dim = cfg.d_model // cfg.num_heads
         self.scale = (8.0 / self.head_dim if cfg.use_mup
