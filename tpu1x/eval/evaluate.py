@@ -47,7 +47,8 @@ class GenieEvaluator:
 
     def __init__(self, model: STMaskGIT, params, config: GenieConfig,
                  maskgit_steps: int = 2, temperature: float = 0.0,
-                 rows_per_chunk: int = 64, use_cache: bool = True):
+                 rows_per_chunk: int = 64, use_cache: bool = True,
+                 use_serving: Optional[bool] = None):
         self.model = model
         self.params = params
         self.config = config
@@ -55,6 +56,20 @@ class GenieEvaluator:
         self.temperature = temperature
         self.rows_per_chunk = rows_per_chunk
         self.use_cache = use_cache
+        # route decode through the serving DecodeEngine (scan layer loop +
+        # fused Pallas decode kernels) — the RolloutEngine pattern. Default:
+        # on when on TPU with scan-layout params. The flax path remains the
+        # parity oracle (tests/test_evaluator.py).
+        if use_serving is None:
+            use_serving = (jax.default_backend() == "tpu"
+                           and config.scan_layers)
+        self._serving = None
+        serving_params = params
+        if use_cache and use_serving:
+            from tpu1x.serving import DecodeEngine, prepare_serving_params
+            self._serving = DecodeEngine(config)
+            serving_params = prepare_serving_params(params)
+            self.params = serving_params
 
         # params enter as jit arguments (closing over them would bake the
         # weights into the compiled program as constants — huge compiles)
@@ -71,12 +86,17 @@ class GenieEvaluator:
         def _eval_all_frames(params, tokens_BTHW, rng):
             B = tokens_BTHW.shape[0]
 
-            def decode_fn(frame_BS, t_B, cache):
-                return model.apply({"params": params}, frame_BS, t_B, cache,
-                                   method=STMaskGIT.decode_frame)
-
-            cache = model.apply({"params": params}, tokens_BTHW,
-                                method=STMaskGIT.prefill)
+            if self._serving is not None:
+                def decode_fn(frame_BS, t_B, cache):
+                    return self._serving.decode_frame(params, frame_BS, t_B,
+                                                      cache)
+                cache = self._serving.prefill(params, tokens_BTHW)
+            else:
+                def decode_fn(frame_BS, t_B, cache):
+                    return model.apply({"params": params}, frame_BS, t_B,
+                                       cache, method=STMaskGIT.decode_frame)
+                cache = model.apply({"params": params}, tokens_BTHW,
+                                    method=STMaskGIT.prefill)
 
             def task(rng, t):
                 rng, sub = jax.random.split(rng)
