@@ -76,6 +76,22 @@ def main():
                             maskgit_steps=args.maskgit_steps,
                             temperature=args.temperature)
 
+        if jax.default_backend() == "tpu" and config.scan_layers:
+            # serving engine: fused-commit rollout with the Pallas decode
+            # kernels (the bench.py path; token-exact vs generate_cached)
+            import functools
+
+            from tpu1x.models.sampler import generate_cached_fused
+            from tpu1x.serving import DecodeEngine
+            engine = DecodeEngine(config)
+            return generate_cached_fused(
+                functools.partial(engine.prefill, params),
+                functools.partial(engine.decode_frame, params),
+                functools.partial(engine.decode_frame_pair, params),
+                prompt, n_new, rng, config,
+                maskgit_steps=args.maskgit_steps,
+                temperature=args.temperature)
+
         def prefill_fn(tokens_BPHW):
             return model.apply({"params": params}, tokens_BPHW,
                                method=STMaskGIT.prefill)
