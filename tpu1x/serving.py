@@ -104,22 +104,25 @@ class DecodeEngine:
         # cache stream. Parity vs the bf16 oracle in tests/test_serving.py.
         assert cache_dtype in ("bf16", "int8"), cache_dtype
         self.cache_dtype = cache_dtype
-        # decode-step spatial attention: "xla" default — measured faster
-        # than routing through the flash kernel at decode shapes (6.05 vs
-        # 6.62 ms/frame, GENIE_138M B=16: the kernel's (B,N,H,D)<->(B,H,N,D)
-        # transposes outweigh its fused softmax for a forward-only pass)
+        # decode-step spatial attention: "fused" = the monolithic spatial
+        # block kernel (LN + qkv + all-heads attention + proj + residual in
+        # one Pallas program, tpu1x/ops/spatial_block.py). Measured in-situ
+        # on v5e at GENIE_138M: pair call (32, 256, 512) 314 us fused vs
+        # 520 us XLA; single-frame decode (16, 256, 512) 156 vs 114 — so
+        # "fused" automatically falls back to XLA below 32 rows. "pallas"
+        # keeps the r2 flash_mha route (loses on transposes at these
+        # shapes); "xla" is the oracle path.
         import os
+        default_spatial = ("fused" if self.attn_impl == "pallas" else "xla")
         self.spatial_attn_impl = os.environ.get(
-            "TPU1X_DECODE_SPATIAL_IMPL", "xla")
-        # prefill's bidirectional spatial attention is a separate choice from
-        # the decode kernel: XLA's fused attention beats the flash kernel at
-        # prefill shapes (S=256, head_dim 32-64; measured 830 -> 795 ms per
-        # GENIE_138M b16 rollout batch, benchmarks/profile_gen.py), while the
-        # fused cache-streaming kernel wins decode (957 vs 1274 ms).
-        import os as _os
+            "TPU1X_DECODE_SPATIAL_IMPL", default_spatial)
+        # prefill's bidirectional spatial attention is a separate switch;
+        # the fused block kernel wins there too (128 rows: 1297 us vs
+        # 2282 us XLA, benchmarks/profile_gen.py r4).
         self.prefill_attn_impl = (prefill_attn_impl
-                                  or _os.environ.get(
-                                      "TPU1X_PREFILL_SPATIAL_IMPL", "xla"))
+                                  or os.environ.get(
+                                      "TPU1X_PREFILL_SPATIAL_IMPL",
+                                      default_spatial))
         cfg = config
         self.head_dim = cfg.d_model // cfg.num_heads
         self.scale = (8.0 / self.head_dim if cfg.use_mup
@@ -166,14 +169,14 @@ class DecodeEngine:
             q, k = qknorm(q), qknorm(k)
         return q, k, v
 
-    def _spatial_attn(self, p, x_BSC):
+    def _spatial_attn(self, p, x_BSC, impl=None):
         q, k, v = self._qkv(p, x_BSC)
         H, D = self.config.num_heads, self.head_dim
         B, S, C = x_BSC.shape
 
         def heads(t):
             return t.reshape(B, S, H, D)
-        if self.spatial_attn_impl == "pallas":
+        if (impl or self.spatial_attn_impl) == "pallas":
             from tpu1x.ops.pallas_attention import flash_mha
             out = flash_mha(heads(q), heads(k), heads(v), scale=self.scale,
                             causal=False)
@@ -182,6 +185,35 @@ class DecodeEngine:
                                 scale=self.scale, causal=False)
         return self._dense(out.reshape(B, S, C), p["proj"]["kernel"],
                            p["proj"].get("bias"))
+
+    def _spatial_half(self, lp, x_NSC, impl: Optional[str] = None):
+        """The full spatial half of one STBlock: n1 -> qkv -> bidirectional
+        attention -> proj -> residual. "fused" runs it as ONE Pallas program
+        (tpu1x/ops/spatial_block.py) — no fp32 (N, H, S, S) logits in HBM;
+        measured faster than the XLA lowering from 32 rows up (bench.py
+        4.56 ms/frame with the N=16 fallback vs 4.62 always-fused), so
+        single-frame decode calls (N = B = 16) keep the XLA path."""
+        cfg = self.config
+        impl = impl or self.spatial_attn_impl
+        if impl == "fused" and x_NSC.shape[0] < 32:
+            impl = "xla"  # measured: XLA keeps the single-frame decode call
+        if impl == "fused":
+            from tpu1x.ops.spatial_block import spatial_block
+            sp = lp["spatial_attn"]
+            return spatial_block(
+                x_NSC.astype(self.dtype), sp["qkv"]["kernel"],
+                sp["proj"]["kernel"],
+                bqkv=sp["qkv"].get("bias"), bproj=sp["proj"].get("bias"),
+                ln_scale=None if cfg.qk_norm else lp["norm1"]["scale"],
+                ln_bias=None if cfg.qk_norm else lp["norm1"]["bias"],
+                qk_ln_scale=sp["norm"]["scale"] if cfg.qk_norm else None,
+                qk_ln_bias=sp["norm"]["bias"] if cfg.qk_norm else None,
+                num_heads=cfg.num_heads, scale=self.scale)
+        if cfg.qk_norm:  # norm1 is Identity (st_transformer.py:44,67)
+            h = x_NSC.astype(self.dtype)
+        else:
+            h = self._pre_norm(lp["norm1"], x_NSC)
+        return x_NSC + self._spatial_attn(lp["spatial_attn"], h, impl=impl)
 
     def _cache_slice(self, cache, layer):
         """Dequantized (T, B, S, C) K/V slices of `layer` (oracle path)."""
@@ -226,17 +258,12 @@ class DecodeEngine:
         """One STBlock decode step (parity: STBlock.decode_step)."""
         cfg = self.config
 
-        def n1(t):
-            if cfg.qk_norm:  # norm1/2 are Identity (st_transformer.py:44,67)
-                return t.astype(self.dtype)
-            return self._pre_norm(lp["norm1"], t)
-
         def n2(t):
-            if cfg.qk_norm:
+            if cfg.qk_norm:  # norm1/2 are Identity (st_transformer.py:44,67)
                 return t.astype(self.dtype)
             return self._pre_norm(lp["norm2"], t)
 
-        x = x + self._spatial_attn(lp["spatial_attn"], n1(x))
+        x = self._spatial_half(lp, x)
         t_out, k_cur, v_cur = self._temporal_attn(
             lp["temporal_attn"], x, cache, layer, t_B)
         x = x + t_out  # NOTE: no pre-norm on temporal (st_transformer.py:78)
@@ -337,23 +364,15 @@ class DecodeEngine:
         cfg = self.config
         B, P, S, C = x_BPSC.shape
 
-        def n1(t):
-            if cfg.qk_norm:
-                return t.astype(self.dtype)
-            return self._pre_norm(lp["norm1"], t)
-
         def n2(t):
-            if cfg.qk_norm:
+            if cfg.qk_norm:  # norm1/2 are Identity (st_transformer.py:44,67)
                 return t.astype(self.dtype)
             return self._pre_norm(lp["norm2"], t)
 
         # spatial (bidirectional over S, (B, P) batch-like)
-        h = n1(x_BPSC)
-        q, k, v = self._qkv(lp["spatial_attn"], h.reshape(B * P, S, C))
-        out = self._mha(q, k, v, causal=False, impl=self.prefill_attn_impl)
-        out = self._dense(out, lp["spatial_attn"]["proj"]["kernel"],
-                          lp["spatial_attn"]["proj"].get("bias"))
-        x = x_BPSC + out.reshape(B, P, S, C)
+        x = self._spatial_half(lp, x_BPSC.reshape(B * P, S, C),
+                               impl=self.prefill_attn_impl
+                               ).reshape(B, P, S, C)
 
         # temporal (causal over P, no pre-norm — st_transformer.py:78) in the
         # native spatial-major layout via the fused kernel — no
@@ -446,17 +465,12 @@ class DecodeEngine:
         cfg = self.config
         B = z_2BSC.shape[0] // 2
 
-        def n1(t):
-            if cfg.qk_norm:
-                return t.astype(self.dtype)
-            return self._pre_norm(lp["norm1"], t)
-
         def n2(t):
-            if cfg.qk_norm:
+            if cfg.qk_norm:  # norm1/2 are Identity (st_transformer.py:44,67)
                 return t.astype(self.dtype)
             return self._pre_norm(lp["norm2"], t)
 
-        z = z_2BSC + self._spatial_attn(lp["spatial_attn"], n1(z_2BSC))
+        z = self._spatial_half(lp, z_2BSC)
         p = lp["temporal_attn"]
         q, k_all, v_all = self._qkv(p, z)
         qp, qc = q[:B], q[B:]
