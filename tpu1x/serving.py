@@ -123,6 +123,13 @@ class DecodeEngine:
                                   or os.environ.get(
                                       "TPU1X_PREFILL_SPATIAL_IMPL",
                                       default_spatial))
+        # MLP activation: exact erf-GELU (the reference's torch nn.GELU)
+        # for fp32 compute; tanh-approx for bf16 serving (error below bf16
+        # quantization; see _mlp). Override with TPU1X_GELU=exact|tanh.
+        self.gelu = os.environ.get(
+            "TPU1X_GELU",
+            "tanh" if self.dtype == jnp.bfloat16 else "exact")
+        assert self.gelu in ("exact", "tanh"), self.gelu
         cfg = config
         self.head_dim = cfg.d_model // cfg.num_heads
         self.scale = (8.0 / self.head_dim if cfg.use_mup
@@ -244,7 +251,13 @@ class DecodeEngine:
 
     def _mlp(self, p, x):
         h = self._dense(x, p["fc1"]["kernel"], p["fc1"].get("bias"))
-        h = jax.nn.gelu(h, approximate=False)
+        # "tanh" (serving default in bf16): erf-GELU costs ~40 VPU cycles
+        # per element — measured 4.56 -> 3.52 ms/frame at the bench shape
+        # (25M gelu/frame). The tanh approximation's error (~3e-4 in
+        # gelu units) is below bf16 quantization (~4e-3 relative), so
+        # bf16 serving keeps it; fp32 paths (CPU golden parity) stay
+        # exact like the reference's torch nn.GELU (st_transformer.py:7-20).
+        h = jax.nn.gelu(h, approximate=(self.gelu == "tanh"))
         return self._dense(h, p["fc2"]["kernel"], p["fc2"].get("bias"))
 
     def _pre_norm(self, ln_p, x):
@@ -450,12 +463,20 @@ class DecodeEngine:
 
         if cfg.use_mup:
             x = x / cfg.width_mult
-        head = p["out_x_proj"]
-        logits = jnp.dot(x.astype(jnp.float32),
-                         head["kernel"].astype(jnp.float32)) + head["bias"]
+        logits = self._head(p, x)
         logits = logits.reshape(B, S, cfg.num_factored_vocabs,
                                 cfg.factored_vocab_size).swapaxes(-1, -2)
         return logits, (k_cur, v_cur)
+
+    def _head(self, p, x):
+        """Output head: bf16 operands, fp32 MXU accumulation + fp32 bias.
+        (A full-fp32 matmul costs 4x MXU passes for < 1e-2 logit delta on
+        inputs that are already bf16; the reference's autocast computes
+        this Linear in bf16 too, st_mask_git.py:61.)"""
+        head = p["out_x_proj"]
+        y = jnp.dot(x.astype(self.dtype), head["kernel"].astype(self.dtype),
+                    preferred_element_type=jnp.float32)
+        return y + head["bias"].astype(jnp.float32)
 
     def _layer_pair(self, lp, layer, z_2BSC, cache, t_prev_B):
         """One STBlock step over [prev_final; cur_masked] stacked on the
@@ -548,9 +569,7 @@ class DecodeEngine:
         y = z[B:]  # cur half
         if cfg.use_mup:
             y = y / cfg.width_mult
-        head = p["out_x_proj"]
-        logits = jnp.dot(y.astype(jnp.float32),
-                         head["kernel"].astype(jnp.float32)) + head["bias"]
+        logits = self._head(p, y)
         logits = logits.reshape(B, S, cfg.num_factored_vocabs,
                                 cfg.factored_vocab_size).swapaxes(-1, -2)
         return logits, kv_prev
