@@ -130,6 +130,17 @@ class DecodeEngine:
             "TPU1X_GELU",
             "tanh" if self.dtype == jnp.bfloat16 else "exact")
         assert self.gelu in ("exact", "tanh"), self.gelu
+        # "block": the decode step's layer body runs as TWO fused Pallas
+        # programs (spatial_block + temporal_mlp_block) — no (B, S, C)
+        # intermediate round-trips HBM between ops. "op": r3's per-op
+        # kernels. The block kernels cover the bf16 cache and standard
+        # pre-LN config; other combinations fall back to "op".
+        self.layer_fusion = os.environ.get(
+            "TPU1X_DECODE_FUSION",
+            "block" if self.attn_impl == "pallas" else "op")
+        self._block_ok = (self.layer_fusion == "block"
+                          and self.attn_impl == "pallas"
+                          and cache_dtype == "bf16" and not config.qk_norm)
         cfg = config
         self.head_dim = cfg.d_model // cfg.num_heads
         self.scale = (8.0 / self.head_dim if cfg.use_mup
@@ -270,18 +281,35 @@ class DecodeEngine:
     def _layer(self, lp, layer, x, cache, t_B):
         """One STBlock decode step (parity: STBlock.decode_step)."""
         cfg = self.config
+        x = self._spatial_half(lp, x)
+        if self._block_ok:
+            from tpu1x.ops.temporal_mlp_block import temporal_mlp_block
+            return temporal_mlp_block(
+                x, cache["k"], cache["v"], t_B, layer=layer,
+                scale=self.scale, num_heads=cfg.num_heads,
+                gelu_tanh=self.gelu == "tanh",
+                **self._block_weights(lp))
 
         def n2(t):
             if cfg.qk_norm:  # norm1/2 are Identity (st_transformer.py:44,67)
                 return t.astype(self.dtype)
             return self._pre_norm(lp["norm2"], t)
 
-        x = self._spatial_half(lp, x)
         t_out, k_cur, v_cur = self._temporal_attn(
             lp["temporal_attn"], x, cache, layer, t_B)
         x = x + t_out  # NOTE: no pre-norm on temporal (st_transformer.py:78)
         x = x + self._mlp(lp["mlp"], n2(x))
         return x, k_cur, v_cur
+
+    def _block_weights(self, lp):
+        """Weight kwargs of the fused temporal+MLP block kernel."""
+        tp, mp = lp["temporal_attn"], lp["mlp"]
+        return dict(
+            wqkv=tp["qkv"]["kernel"], bqkv=tp["qkv"].get("bias"),
+            wproj=tp["proj"]["kernel"], bproj=tp["proj"].get("bias"),
+            ln_scale=lp["norm2"]["scale"], ln_bias=lp["norm2"]["bias"],
+            wfc1=mp["fc1"]["kernel"], bfc1=mp["fc1"].get("bias"),
+            wfc2=mp["fc2"]["kernel"], bfc2=mp["fc2"].get("bias"))
 
     def _mha(self, q, k, v, causal: bool, impl: Optional[str] = None):
         """(..., N, C) heads-flat in/out; pallas flash kernel on TPU."""
@@ -478,6 +506,20 @@ class DecodeEngine:
                     preferred_element_type=jnp.float32)
         return y + head["bias"].astype(jnp.float32)
 
+    def _layer_pair_block(self, lp, layer, z_B2SC, cache, t_prev_B):
+        """Block-fused pair step: spatial_block on the flattened rows, then
+        ONE temporal+MLP program per (row, s-tile) serving both frames from
+        a single cache stream (interleaved (B, 2, S, C) layout)."""
+        from tpu1x.ops.temporal_mlp_block import temporal_mlp_block_pair
+        cfg = self.config
+        B, _, S, C = z_B2SC.shape
+        z = self._spatial_half(lp, z_B2SC.reshape(2 * B, S, C)
+                               ).reshape(B, 2, S, C)
+        return temporal_mlp_block_pair(
+            z, cache["k"], cache["v"], t_prev_B, layer=layer,
+            scale=self.scale, num_heads=cfg.num_heads,
+            gelu_tanh=self.gelu == "tanh", **self._block_weights(lp))
+
     def _layer_pair(self, lp, layer, z_2BSC, cache, t_prev_B):
         """One STBlock step over [prev_final; cur_masked] stacked on the
         batch axis (spatial attention stays frame-local for free); temporal
@@ -542,31 +584,38 @@ class DecodeEngine:
                 x = x + act[:, None, :].astype(self.dtype)
             return x
 
-        z = jnp.concatenate([
-            embed_frame(prev_tokens_BS, t_prev_B, action_prev),
-            embed_frame(cur_tokens_BS, t_prev_B + 1, action_cur),
-        ], axis=0)  # (2B, S, C)
+        if self._block_ok:  # interleaved (B, 2, S, C) layout
+            z = jnp.stack([
+                embed_frame(prev_tokens_BS, t_prev_B, action_prev),
+                embed_frame(cur_tokens_BS, t_prev_B + 1, action_cur),
+            ], axis=1)
+            layer_fn = self._layer_pair_block
+        else:
+            z = jnp.concatenate([
+                embed_frame(prev_tokens_BS, t_prev_B, action_prev),
+                embed_frame(cur_tokens_BS, t_prev_B + 1, action_cur),
+            ], axis=0)  # (2B, S, C)
+            layer_fn = self._layer_pair
 
         lp = p["decoder"]["layers"]
         if self.layers_mode == "unroll":
             k_prevs, v_prevs = [], []
             for layer in range(cfg.num_layers):
                 layer_p = jax.tree_util.tree_map(lambda a: a[layer], lp)
-                z, kp, vp = self._layer_pair(layer_p, layer, z, cache,
-                                             t_prev_B)
+                z, kp, vp = layer_fn(layer_p, layer, z, cache, t_prev_B)
                 k_prevs.append(kp)
                 v_prevs.append(vp)
             kv_prev = (jnp.stack(k_prevs)[None], jnp.stack(v_prevs)[None])
         else:
             def body(z, xs):
                 lp_l, li = xs
-                z, kp, vp = self._layer_pair(lp_l, li, z, cache, t_prev_B)
+                z, kp, vp = layer_fn(lp_l, li, z, cache, t_prev_B)
                 return z, (kp, vp)
             lis = jnp.arange(cfg.num_layers, dtype=jnp.int32)
             z, (k_prevs, v_prevs) = jax.lax.scan(body, z, (lp, lis))
             kv_prev = (k_prevs[None], v_prevs[None])
 
-        y = z[B:]  # cur half
+        y = z[:, 1] if self._block_ok else z[B:]  # cur half
         if cfg.use_mup:
             y = y / cfg.width_mult
         logits = self._head(p, y)
