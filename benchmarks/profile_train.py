@@ -25,6 +25,7 @@ def main():
     p.add_argument("--model", default="genie_138m")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--remat_policy", type=str, default="none")
+    p.add_argument("--gelu_tanh", action="store_true")
     p.add_argument("--no_remat", action="store_true")
     p.add_argument("--logdir", type=str, default=None)
     args = p.parse_args()
@@ -47,6 +48,7 @@ def main():
 
     config = MODEL_ZOO[args.model]()
     config.remat_policy = args.remat_policy
+    config.gelu_approx = args.gelu_tanh
     if args.no_remat:
         config.remat = False
     model = STMaskGIT(config)

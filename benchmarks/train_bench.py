@@ -24,8 +24,9 @@ def main():
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--remat_policy", type=str, default="none",
-                   choices=["none", "dots", "dots_no_batch"])
+                   choices=["none", "dots", "dots_no_batch", "attn_outs"])
     p.add_argument("--no_remat", action="store_true")
+    p.add_argument("--gelu_tanh", action="store_true")
     args = p.parse_args()
 
     try:  # persistent compile cache (shared with bench.py)
@@ -47,6 +48,7 @@ def main():
 
     config = MODEL_ZOO[args.model]()
     config.remat_policy = args.remat_policy
+    config.gelu_approx = args.gelu_tanh
     if args.no_remat:
         config.remat = False
     model = STMaskGIT(config)

@@ -65,22 +65,32 @@ class GenieConfig:
     dtype: str = "bfloat16"  # compute/activation dtype
     param_dtype: str = "float32"  # parameter storage dtype
     # Attention implementation for the training/forward path: "xla" |
-    # "pallas" | "auto". "auto" resolves to "xla" — measured on a v5e chip,
-    # XLA's fused attention beats the handwritten flash kernel at ST shapes
-    # (S=256, T=16; benchmarks/attn_bench.py, profile_gen.py: prefill spatial
-    # 830->795 ms/batch switching pallas->xla), and the flash kernel has no
-    # VJP. The fused Pallas kernels that DO win ship on the serving decode
-    # path (tpu1x/ops/decode_attention.py, used by tpu1x/serving.py).
+    # "pallas" | "auto". "auto" resolves to "pallas" on TPU (measured,
+    # tpu1x/ops/attention.py resolve_attn_impl: the flash spatial kernel
+    # has a fused forward AND backward, and with the fused temporal kernel
+    # the GENIE_138M B=8 step went 1.07 -> 0.61 s) and "xla" elsewhere
+    # (kernels would run in interpret mode off-TPU). The serving decode
+    # path has its own kernel set (tpu1x/ops/{spatial_block,
+    # temporal_mlp_block,decode_attention}.py via tpu1x/serving.py).
     attn_impl: str = "auto"
+    # MLP activation: the reference's torch nn.GELU is exact erf
+    # (st_transformer.py:7-25), the default. True switches training to the
+    # tanh approximation — measured ~8% faster a step at GENIE_138M (the
+    # erf backward's exp dominates the MLP bwd fusion) with ~3e-4 activation
+    # delta; a deliberate, opt-in deviation.
+    gelu_approx: bool = False
     # jax.checkpoint each ST block: backward recomputes instead of saving all
     # L layers' attention/MLP activations (32 layers x B=4 already OOMs a
     # 16 GB chip without it). Free at inference (no-op outside autodiff).
     remat: bool = True
     # What the per-block checkpoint SAVES: "none" (full recompute, min
-    # memory), "dots" (save matmul outputs, recompute elementwise only —
-    # jax.checkpoint_policies.checkpoint_dots; trades memory for backward
-    # FLOPs), "dots_no_batch" (dots_with_no_batch_dims_saveable).
-    remat_policy: str = "none"
+    # memory), "attn_outs" (save the attention kernel outputs + the two
+    # post-attention residual streams — removes both kernel forward re-runs
+    # from the backward at ~100 MB/layer; the fastest measured policy at
+    # GENIE_138M), "dots" (save matmul outputs —
+    # jax.checkpoint_policies.checkpoint_dots), "dots_no_batch"
+    # (dots_with_no_batch_dims_saveable; OOMs at GENIE_138M B=8).
+    remat_policy: str = "attn_outs"
     scan_layers: bool = True  # lax.scan over the layer stack (fast compiles)
     # muP base shapes (reference hardcodes base 8 heads / d_model 256,
     # genie/st_mask_git.py:298-304)

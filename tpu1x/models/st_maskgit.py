@@ -53,7 +53,8 @@ class STMaskGIT(nn.Module):
             num_layers=cfg.num_layers, num_heads=cfg.num_heads, d_model=cfg.d_model,
             qkv_bias=cfg.qkv_bias, proj_bias=cfg.proj_bias, qk_norm=cfg.qk_norm,
             use_mup=cfg.use_mup, attn_drop=cfg.attn_drop, mlp_ratio=cfg.mlp_ratio,
-            mlp_bias=cfg.mlp_bias, mlp_drop=cfg.mlp_drop, dtype=dtype,
+            mlp_bias=cfg.mlp_bias, mlp_drop=cfg.mlp_drop,
+            gelu_approx=cfg.gelu_approx, dtype=dtype,
             param_dtype=param_dtype, attn_impl=cfg.attn_impl, remat=cfg.remat,
             remat_policy=cfg.remat_policy,
             scan_layers=cfg.scan_layers, name="decoder",

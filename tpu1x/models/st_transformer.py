@@ -35,6 +35,7 @@ class Mlp(nn.Module):
     mlp_ratio: float = 4.0
     mlp_bias: bool = True
     mlp_drop: float = 0.0
+    gelu_approx: bool = False
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
     deterministic: bool = True
@@ -45,7 +46,7 @@ class Mlp(nn.Module):
         x = nn.Dense(hidden_dim, use_bias=self.mlp_bias, dtype=self.dtype,
                      param_dtype=self.param_dtype,
                      kernel_init=nn.initializers.normal(stddev=0.02), name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=self.gelu_approx)
         if self.mlp_drop > 0.0 and not self.deterministic:
             x = nn.Dropout(rate=self.mlp_drop)(x, deterministic=False)
         x = nn.Dense(self.d_model, use_bias=self.mlp_bias, dtype=self.dtype,
@@ -82,6 +83,7 @@ class STBlock(nn.Module):
     mlp_ratio: float = 4.0
     mlp_bias: bool = True
     mlp_drop: float = 0.0
+    gelu_approx: bool = False
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
@@ -99,6 +101,7 @@ class STBlock(nn.Module):
         self.temporal_attn = SelfAttention(**attn_kwargs)
         self.mlp = Mlp(d_model=self.d_model, mlp_ratio=self.mlp_ratio,
                        mlp_bias=self.mlp_bias, mlp_drop=self.mlp_drop,
+                       gelu_approx=self.gelu_approx,
                        dtype=self.dtype, param_dtype=self.param_dtype,
                        deterministic=self.deterministic)
         # Identity when qk_norm (reference quirk, st_transformer.py:44,67)
@@ -115,10 +118,18 @@ class STBlock(nn.Module):
         return x if self.qk_norm else self.norm2(x)
 
     def _forward(self, x_BTSC, collect_kv: bool):
+        from jax.ad_checkpoint import checkpoint_name
+
         # Spatial attention: (B, T) batch dims, sequence axis S. Bidirectional.
         h = self._n1(x_BTSC).astype(self.dtype)
         x = x_BTSC + self.spatial_attn(h, causal=False,
                                        deterministic=self.deterministic)
+        # Named for the "attn_outs" remat policy: both attention kernels'
+        # custom vjps carry (q, k, v) residuals only, so saving the two
+        # post-attention residual streams removes the kernels' forward
+        # re-runs from the backward pass (~45 ms/step at GENIE_138M B=8)
+        # for 2 x 33.5 MB/layer of HBM.
+        x = checkpoint_name(x, "x_spatial")
 
         # Temporal attention: causal over T. NOTE: no pre-norm (reference
         # st_transformer.py:78).
@@ -137,7 +148,9 @@ class STBlock(nn.Module):
             out = temporal_attention(q, k, v,
                                      scale=self.temporal_attn.scale,
                                      num_heads=self.num_heads, causal=True)
+            out = checkpoint_name(out, "attn_out")
             x = x + self.temporal_attn.proj(out)
+            x = checkpoint_name(x, "x_temporal")
             h = self._n2(x).astype(self.dtype)
             x = x + self.mlp(h)
             return x, None
@@ -156,6 +169,7 @@ class STBlock(nn.Module):
         else:
             x_BSTC = x_BSTC + self.temporal_attn(
                 x_BSTC, causal=True, deterministic=self.deterministic)
+            x_BSTC = checkpoint_name(x_BSTC, "x_temporal")
             kv = None
 
         # MLP (in the (B, S, T, C) layout like the reference; same math).
@@ -263,6 +277,7 @@ class STTransformerDecoder(nn.Module):
     mlp_ratio: float = 4.0
     mlp_bias: bool = True
     mlp_drop: float = 0.0
+    gelu_approx: bool = False
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
@@ -281,6 +296,17 @@ class STTransformerDecoder(nn.Module):
             "dots": jax.checkpoint_policies.checkpoint_dots,
             "dots_no_batch":
                 jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            # save the two post-attention residual streams (see the
+            # checkpoint_name calls in STBlock._forward): the attention
+            # kernels' backward passes carry (q, k, v) residuals only, so
+            # these two saves remove both kernel forward re-runs from the
+            # backward pass at 2 x 33.5 MB/layer (GENIE_138M B=8)
+            # kernel outputs only: the post-attention residual streams
+            # rebuild from them with one proj matmul each, and halving the
+            # save set (67 -> 33.5 MB/layer at B=8) is what lets B=16 fit
+            # on a 16 GB chip
+            "attn_outs": jax.checkpoint_policies.save_only_these_names(
+                "attn_out"),
         }
         return nn.remat(target, prevent_cse=False,
                         policy=policies[self.remat_policy])
@@ -291,6 +317,7 @@ class STTransformerDecoder(nn.Module):
             qkv_bias=self.qkv_bias, proj_bias=self.proj_bias,
             qk_norm=self.qk_norm, use_mup=self.use_mup, attn_drop=self.attn_drop,
             mlp_ratio=self.mlp_ratio, mlp_bias=self.mlp_bias, mlp_drop=self.mlp_drop,
+            gelu_approx=self.gelu_approx,
             dtype=self.dtype, param_dtype=self.param_dtype,
             attn_impl=self.attn_impl, deterministic=self.deterministic,
         )

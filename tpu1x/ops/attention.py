@@ -142,8 +142,13 @@ class SelfAttention(nn.Module):
 
     def __call__(self, x, causal: bool = False, deterministic: bool = True):
         """x: (..., N, d_model) -> (..., N, d_model)."""
+        from jax.ad_checkpoint import checkpoint_name
         q, k, v = self.compute_qkv(x)
         out = mha(q, k, v, scale=self.scale, causal=causal, impl=self.impl)
+        # saveable under the "attn_outs" remat policy: keeping the kernel's
+        # primal output resident stops the backward pass from re-running the
+        # attention forward just to reach downstream activations
+        out = checkpoint_name(out, "attn_out")
         if self.attn_drop > 0.0 and not deterministic:
             out = nn.Dropout(rate=self.attn_drop)(out, deterministic=False)
         return self.project(out)
