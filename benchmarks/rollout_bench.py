@@ -25,10 +25,18 @@ def main():
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--maskgit_steps", type=int, default=2)
     p.add_argument("--iters", type=int, default=3)
-    p.add_argument("--cache_dtype", default="int8",
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help=">0 samples from softmax(logits) per factored "
+                        "vocab (st_mask_git.py:183-187 semantics); the "
+                        "north-star workload needs DIVERSE futures")
+    p.add_argument("--num_futures", type=int, default=1,
+                   help="K sampled futures per prompt (requires "
+                        "temperature > 0 to differ)")
+    p.add_argument("--cache_dtype", default="bf16",
                    choices=["bf16", "int8"],
-                   help="serving KV-cache dtype (int8 halves the "
-                        "bandwidth-bound cache stream)")
+                   help="serving KV-cache dtype (bf16 default, matching "
+                        "bench.py; int8 halves cache bytes but measured "
+                        "neutral at these shapes)")
     args = p.parse_args()
 
     try:  # persistent compile cache (shared with bench.py)
@@ -61,10 +69,12 @@ def main():
     mesh = make_mesh() if jax.device_count() > 1 else None
     engine = RolloutEngine(model, params, config, mesh=mesh,
                            maskgit_steps=args.maskgit_steps,
+                           temperature=args.temperature,
                            cache_dtype=args.cache_dtype)
 
     def gen(rng):
-        out = engine.rollout(prompt, num_new, rng)
+        out = engine.rollout(prompt, num_new, rng,
+                             num_futures=args.num_futures)
         return jnp.sum(out)  # scalar fetch
 
     chk = gen(jax.random.PRNGKey(2))
@@ -75,15 +85,27 @@ def main():
     jax.device_get(chk)
     dt = (time.perf_counter() - t0) / args.iters
 
-    print(json.dumps({
+    n_rollouts = args.batch * args.num_futures
+    result = {
         "metric": "rollout_throughput",
         "model": args.model,
         "batch": args.batch,
+        "num_futures": args.num_futures,
+        "temperature": args.temperature,
         "unit": "rollouts/s",
-        "value": round(args.batch / dt, 2),
+        "value": round(n_rollouts / dt, 2),
         "s_per_rollout_batch": round(dt, 4),
-        "s_per_frame_per_example": round(dt / (num_new * args.batch), 6),
-    }))
+        "s_per_frame_per_example": round(dt / (num_new * n_rollouts), 6),
+    }
+    if args.temperature > 0 and args.num_futures > 1:
+        # diversity check: distinct futures per prompt must actually differ
+        outs = engine.rollout(prompt, num_new,
+                              jax.random.PRNGKey(99),
+                              num_futures=args.num_futures)
+        gen_part = jnp.asarray(outs)[:, :, -num_new:]
+        diff = (gen_part[:, :1] != gen_part[:, 1:]).mean()
+        result["future_token_diversity"] = round(float(diff), 4)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -111,6 +111,53 @@ def main():
     got = layer_norm(x, g, b, out_dtype=jnp.bfloat16)
     ok &= check("layer_norm", got, want, 2e-2)
 
+    # r4 block kernels: fused spatial half + fused temporal+MLP half
+    from tpu1x.ops.spatial_block import spatial_block, spatial_block_reference
+    from tpu1x.ops.temporal_mlp_block import (
+        temporal_mlp_block, temporal_mlp_block_pair,
+        temporal_mlp_block_pair_reference, temporal_mlp_block_reference)
+
+    wk = jax.random.split(jax.random.PRNGKey(7), 8)
+    wqkv = (jax.random.normal(wk[0], (C, 3 * C)) * 0.05).astype(jnp.bfloat16)
+    wproj = (jax.random.normal(wk[1], (C, C)) * 0.05).astype(jnp.bfloat16)
+    bproj = (jax.random.normal(wk[2], (C,)) * 0.1).astype(jnp.bfloat16)
+    lns = 1.0 + 0.1 * jax.random.normal(wk[3], (C,))
+    lnb = 0.1 * jax.random.normal(wk[4], (C,))
+    for N in (2 * B, 8 * B):  # pair-call and prefill row counts
+        xs = (jax.random.normal(wk[5], (N, S, C)) * 0.5).astype(jnp.bfloat16)
+        want = spatial_block_reference(xs, wqkv, wproj, bproj=bproj,
+                                       ln_scale=lns, ln_bias=lnb,
+                                       num_heads=H, scale=scale)
+        got = spatial_block(xs, wqkv, wproj, bproj=bproj, ln_scale=lns,
+                            ln_bias=lnb, num_heads=H, scale=scale)
+        ok &= check(f"spatial_block[N={N}]", got, want, 5e-2)
+
+    wfc1 = (jax.random.normal(wk[6], (C, 4 * C)) * 0.05).astype(jnp.bfloat16)
+    wfc2 = (jax.random.normal(wk[7], (4 * C, C)) * 0.05).astype(jnp.bfloat16)
+    bw = dict(wqkv=wqkv, wproj=wproj, bproj=bproj, ln_scale=lns, ln_bias=lnb,
+              wfc1=wfc1, wfc2=wfc2)
+    xs = (jax.random.normal(wk[5], (B, S, C)) * 0.5).astype(jnp.bfloat16)
+    got, gk, gv = temporal_mlp_block(xs, kc, vc, tB, layer=1, scale=scale,
+                                     num_heads=H, **bw)
+    want, wk_, wv_ = temporal_mlp_block_reference(
+        xs, kc[:, 1], vc[:, 1], tB, scale=scale, num_heads=H, **bw)
+    # full-block outputs chain 4 bf16 matmuls + LN + attention: one bf16
+    # ulp at the output magnitude (~8) is 6.25e-2, so the block tolerance
+    # is 1e-1 (the fp32 interpret-mode suites pin the math to 5e-5)
+    ok &= check("temporal_mlp_block", got, want, 1e-1)
+    ok &= check("temporal_mlp_block[k_cur]", gk, wk_, 3e-2)
+
+    zs = (jax.random.normal(wk[6], (B, 2, S, C)) * 0.5).astype(jnp.bfloat16)
+    got, gk, gv = temporal_mlp_block_pair(zs, kc, vc, tB, layer=2,
+                                          scale=scale, num_heads=H, **bw)
+    want, wk_, wv_ = temporal_mlp_block_pair_reference(
+        zs, kc[:, 2], vc[:, 2], tB, scale=scale, num_heads=H, **bw)
+    ok &= check("temporal_mlp_block_pair", got, want, 1e-1)
+    ok &= check("temporal_mlp_block_pair[k_prev]", gk, wk_, 3e-2)
+
+    import json
+    print(json.dumps({"metric": "tpu_kernel_parity",
+                      "value": 1 if ok else 0, "unit": "all_pass"}))
     print("ALL PASS" if ok else "SOME FAILED", flush=True)
     sys.exit(0 if ok else 1)
 

@@ -109,3 +109,32 @@ def test_serving_engine_evaluator_matches_flax(setup):
     np.testing.assert_allclose(l_s, l_f, atol=2e-2, rtol=2e-2)
     agree = (np.asarray(s_s) == np.asarray(s_f)).mean()
     assert agree >= 0.9, agree  # random-init bf16 argmax ties only
+
+
+def test_evaluate_dataset_covers_tail_batch(setup, tmp_path):
+    """N % batch_size != 0: the padded tail batch is evaluated and the CE
+    equals the batch_size=1 full-coverage value (VERDICT r3 missing #2;
+    reference evaluate.py:160-166 iterates the tail batch too)."""
+    cfg, model, params, tokens = setup
+    from tpu1x.data.token_store import RawTokenDataset, write_token_dataset
+    h = cfg.latent_side_len
+    frames = tokens.reshape(-1, h, h)
+    write_token_dataset(tmp_path / "ds2", frames,
+                        vocab_size=cfg.image_vocab_size,
+                        segment_ids=np.zeros(len(frames), dtype=np.int32))
+    ds = RawTokenDataset(tmp_path / "ds2", window_size=cfg.T, stride=1,
+                         filter_overlaps=True)
+    n = len(ds)
+    assert n >= 3
+    ev = GenieEvaluator(model, params, cfg, maskgit_steps=1)
+
+    # batch 2 over an odd N exercises the padded tail; batch 1 is the
+    # full-coverage oracle. Step-0 logits are RNG-free given ground truth,
+    # so the CE must match exactly up to accumulation order.
+    r_tail = evaluate_dataset(ev, ds, batch_size=2, max_examples=3,
+                              verbose=False)
+    r_full = evaluate_dataset(ev, ds, batch_size=1, max_examples=3,
+                              verbose=False)
+    assert r_tail["count"] == 3 == r_full["count"]
+    np.testing.assert_allclose(r_tail["loss"], r_full["loss"], rtol=2e-4)
+    np.testing.assert_allclose(r_tail["acc"], r_full["acc"], rtol=2e-4)

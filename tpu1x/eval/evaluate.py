@@ -188,36 +188,47 @@ def evaluate_dataset(
                                "pred_frames", "gtruth_frames")}
 
     n = len(dataset) if max_examples is None else min(len(dataset), max_examples)
-    for lo in range(0, n - n % batch_size or batch_size, batch_size):
-        if lo + batch_size > n:
-            break
-        idx = np.arange(lo, lo + batch_size)
+    for lo in range(0, n, batch_size):
+        # the final partial batch is PADDED to batch_size (one compiled
+        # shape) and every metric update is weighted by the real example
+        # count — the reference evaluates the tail batch too
+        # (evaluate.py:160-166, DataLoader drop_last=False)
+        hi = min(lo + batch_size, n)
+        real = hi - lo
+        idx = np.arange(lo, hi)
         tokens_BTHW = dataset.get_batch(idx)
-        input_ids = tokens_BTHW.reshape(batch_size, -1)
+        if real < batch_size:
+            pad = np.repeat(tokens_BTHW[-1:], batch_size - real, axis=0)
+            tokens_padded = np.concatenate([tokens_BTHW, pad], axis=0)
+        else:
+            tokens_padded = tokens_BTHW
+        input_ids = tokens_padded.reshape(batch_size, -1)
 
         rng, sub = jax.random.split(rng)
         start = time.time()
         samples, factored_logits = evaluator.predict_zframe_logits(input_ids, sub)
-        frames_per_batch = (cfg.T - 1) * batch_size
+        samples = samples[:real]
+        factored_logits = factored_logits[:real]
+        frames_per_batch = (cfg.T - 1) * batch_size  # padded rows computed
         metrics["gen_time"].update((time.time() - start) / frames_per_batch,
-                                   batch_size)
+                                   real)
 
-        loss = compute_loss(input_ids, factored_logits,
+        loss = compute_loss(input_ids[:real], factored_logits,
                             cfg.num_factored_vocabs, cfg.factored_vocab_size)
         acc = token_accuracy(tokens_BTHW, samples)
-        metrics["loss"].update(loss, batch_size)
-        metrics["acc"].update(acc, batch_size)
+        metrics["loss"].update(loss, real)
+        metrics["acc"].update(acc, real)
 
         if decode_latents is not None:
             start = time.time()
             pred_frames = decode_latents(samples.reshape(-1, *samples.shape[2:]))
-            pred_frames = pred_frames.reshape(batch_size, cfg.T - 1,
+            pred_frames = pred_frames.reshape(real, cfg.T - 1,
                                               *pred_frames.shape[1:])
-            metrics["dec_time"].update((time.time() - start) / frames_per_batch,
-                                       batch_size)
+            metrics["dec_time"].update(
+                (time.time() - start) / ((cfg.T - 1) * real), real)
             gtruth_frames = decode_latents(
                 tokens_BTHW[:, 1:].reshape(-1, *samples.shape[2:]))
-            gtruth_frames = gtruth_frames.reshape(batch_size, cfg.T - 1,
+            gtruth_frames = gtruth_frames.reshape(real, cfg.T - 1,
                                                   *gtruth_frames.shape[1:])
             if lpips_fn is not None:
                 metrics.setdefault("pred_lpips", AvgMetric()).update_list(
@@ -243,7 +254,9 @@ def evaluate_dataset(
             if vals:
                 np.save(out / f"{key}.npy", np.concatenate(vals, axis=0))
 
-    return {k: v.mean() for k, v in metrics.items() if v.count > 0}
+    results = {k: v.mean() for k, v in metrics.items() if v.count > 0}
+    results["count"] = metrics["loss"].count  # examples actually evaluated
+    return results
 
 
 def parse_args():

@@ -64,6 +64,12 @@ def main():
     S = config.S
     prompt = jnp.asarray(
         tokens_BTHW[:, :args.num_prompt_frames].reshape(B, -1))
+    if jax.default_backend() == "tpu" and config.scan_layers:
+        # bf16-cast matmul weights ONCE (like bench.py/RolloutEngine) so the
+        # decode kernels stream bf16 q/kv blocks instead of re-casting fp32
+        # per call
+        from tpu1x.serving import prepare_serving_params
+        params = prepare_serving_params(params)
 
     @jax.jit
     def gen_jit(params, prompt, rng):

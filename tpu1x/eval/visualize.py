@@ -110,7 +110,7 @@ def make_comic(frames: np.ndarray, num_prompt_frames: int, window_size: int
                ) -> np.ndarray:
     """Two-row grid PNG from a generate.py stream
     `[prompt (P) | predicted (W-P) | ground truth (W-P)]` (generate.py:97-103):
-    top row = Prompt + Prediction, bottom row = Prompt + Ground truth, with
+    top row = Prompt + Generated, bottom row = Prompt + Ground truth, with
     ground-truth frame i placed at column i - W + P — the reference's comic
     layout (visualize.py:185-199)."""
     P, W = num_prompt_frames, window_size
@@ -120,7 +120,8 @@ def make_comic(frames: np.ndarray, num_prompt_frames: int, window_size: int
         top.append(caption_image(frames[i], "Prompt"))
         bot.append(caption_image(frames[i], "Prompt"))
     for i in range(P, min(W, n)):
-        top.append(caption_image(frames[i], "Prediction"))
+        # same label set as the GIF path (caption_for_frame)
+        top.append(caption_image(frames[i], caption_for_frame(i, P, W)))
     for i in range(W, n):
         bot.append(caption_image(frames[i], "Ground truth"))
     blank = caption_image(np.full_like(frames[0], 255), "")

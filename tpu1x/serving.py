@@ -141,6 +141,16 @@ class DecodeEngine:
         self._block_ok = (self.layer_fusion == "block"
                           and self.attn_impl == "pallas"
                           and cache_dtype == "bf16" and not config.qk_norm)
+        if (config.qk_norm and self.attn_impl == "pallas"
+                and self.layer_fusion == "block"):
+            import warnings
+            warnings.warn(
+                "qk_norm=True: the temporal+MLP block fusion and the fused "
+                "temporal prefill fall back to the slower per-op path (the "
+                "spatial block kernel still applies qk-LN in-kernel; the "
+                "per-op path benched 5.09 ms/frame in r3 vs 3.5 with block "
+                "fusion). The shipped reference config uses qk_norm=false "
+                "(magvit_n32_h8_d256.json).", stacklevel=2)
         cfg = config
         self.head_dim = cfg.d_model // cfg.num_heads
         self.scale = (8.0 / self.head_dim if cfg.use_mup

@@ -105,7 +105,8 @@ def make_tokenizer_train_step(model: VQModel, disc: NLayerDiscriminator,
             recon, res = model.apply({"params": gen_params}, images,
                                      training=True)
             rec = recon_loss_fn(images, recon)
-            nll = rec + perceptual(images, recon)
+            p_loss = perceptual(images, recon)
+            nll = rec + p_loss
             logits_fake = disc.apply(
                 {"params": state.disc_params, "batch_stats": state.disc_stats},
                 recon, train=False)
@@ -150,7 +151,8 @@ def make_tokenizer_train_step(model: VQModel, disc: NLayerDiscriminator,
             total = (nll + d_weight * disc_factor * g_loss
                      + config.entropy_loss_weight * res.entropy_loss
                      + config.commit_loss_weight * res.commit_loss)
-            aux = {"rec_loss": rec, "nll_loss": nll, "g_loss": g_loss,
+            aux = {"rec_loss": rec, "nll_loss": nll, "p_loss": p_loss,
+                   "g_loss": g_loss,
                    "d_weight": d_weight, "entropy_loss": res.entropy_loss,
                    "commit_loss": res.commit_loss,
                    "per_sample_entropy": res.per_sample_entropy,
@@ -208,6 +210,48 @@ def make_tokenizer_train_step(model: VQModel, disc: NLayerDiscriminator,
     return jax.jit(step)
 
 
+def build_lpips_apply(lpips_ckpt, net: str = "vgg"):
+    """Differentiable VGG-LPIPS term for the generator loss (reference:
+    vqperceptual.py:152-158, weight 1.0 via VQConfig.perceptual_weight).
+
+    Args:
+        lpips_ckpt: vendored torch `vgg.pth` state dict or a flax .msgpack;
+            None initializes the trunk randomly (smoke tests only — a loud
+            warning is emitted).
+
+    Returns fn(x, y) of [-1, 1] NHWC floats -> per-image distances; the
+    frozen weights live in the closure so gradients flow only through the
+    inputs (the reference's frozen-LPIPS semantics, lpips.py:28-41).
+    """
+    import warnings
+
+    from tpu1x.tokenizer.lpips import LPIPS, load_lpips_params
+
+    model = LPIPS(net=net)
+    if lpips_ckpt is None:
+        warnings.warn(
+            "LPIPS perceptual loss with RANDOMLY INITIALIZED weights — "
+            "training dynamics are meaningless outside smoke tests.",
+            stacklevel=2)
+        dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), dummy, dummy)["params"]
+    else:
+        lpips_ckpt = str(lpips_ckpt)
+        if lpips_ckpt.endswith(".msgpack"):
+            import flax.serialization
+            with open(lpips_ckpt, "rb") as f:
+                params = flax.serialization.msgpack_restore(f.read())
+        else:
+            import torch
+            sd = torch.load(lpips_ckpt, map_location="cpu",
+                            weights_only=True)
+            params = load_lpips_params(sd)
+
+    def apply(x, y):
+        return model.apply({"params": params}, x, y)
+    return apply
+
+
 def main(argv=None):
     """Minimal tokenizer-training CLI over an image array file.
 
@@ -247,6 +291,15 @@ def main(argv=None):
     p.add_argument("--use_actnorm", action="store_true",
                    help="ActNorm discriminator instead of BatchNorm "
                         "(discriminator/model.py:30-36)")
+    p.add_argument("--lpips_ckpt", type=str, default=None,
+                   help="VGG-LPIPS weights for the perceptual loss "
+                        "(vendored vgg.pth torch state dict or flax "
+                        ".msgpack), or 'random' for randomly initialized "
+                        "trunk weights (smoke tests only). The reference "
+                        "trains with perceptual_weight=1.0 "
+                        "(vqperceptual.py:152-158) — omitting this trains "
+                        "with perceptual == 0 and diverges from reference "
+                        "dynamics.")
     args = p.parse_args(argv)
 
     config = VQConfig(disc_start=args.disc_start,
@@ -271,7 +324,20 @@ def main(argv=None):
     state, model, disc = create_tokenizer_state(
         config, gen_tx, disc_tx, jax.random.PRNGKey(args.seed),
         image_size=size, disc_init_batch=init_batch)
-    step_fn = make_tokenizer_train_step(model, disc, gen_tx, disc_tx, config)
+    lpips_apply = None
+    if args.lpips_ckpt:
+        lpips_apply = build_lpips_apply(
+            None if args.lpips_ckpt == "random" else args.lpips_ckpt)
+    elif config.perceptual_weight:
+        import warnings
+        warnings.warn(
+            "Training WITHOUT the LPIPS perceptual loss (no --lpips_ckpt): "
+            "the reference's generator loss is L1 + VGG-LPIPS at weight "
+            f"{config.perceptual_weight} (vqperceptual.py:152-158) — "
+            "dynamics will diverge from the reference. Pass --lpips_ckpt "
+            "vgg.pth (or 'random' for smoke tests).", stacklevel=1)
+    step_fn = make_tokenizer_train_step(model, disc, gen_tx, disc_tx, config,
+                                        lpips_apply=lpips_apply)
 
     rng = np.random.RandomState(args.seed)
     for i in range(args.max_train_steps):

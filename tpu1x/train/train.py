@@ -128,9 +128,19 @@ def main(argv=None):
     args = parse_args(argv)
     np.random.seed(args.seed)
 
-    # multi-host init (jax.distributed) — no-op on a single host
+    # multi-host init (jax.distributed) — no-op on a single host. With only
+    # TPU1X_MULTIHOST=1 set, cluster autodetection applies (TPU pods,
+    # SLURM); the TPU1X_COORDINATOR/TPU1X_NUM_PROCESSES/TPU1X_PROCESS_ID
+    # env vars configure an explicit CPU/GPU cluster (and the multi-process
+    # CPU tests).
     if int(os.environ.get("TPU1X_MULTIHOST", "0")):
-        jax.distributed.initialize()
+        coord = os.environ.get("TPU1X_COORDINATOR")
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=(int(os.environ["TPU1X_NUM_PROCESSES"])
+                           if coord else None),
+            process_id=(int(os.environ["TPU1X_PROCESS_ID"])
+                        if coord else None))
     process_index, process_count = jax.process_index(), jax.process_count()
 
     mesh = make_mesh(tp=args.tp)
@@ -248,6 +258,19 @@ def main(argv=None):
     checkpointing_steps = (int(args.checkpointing_steps)
                            if args.checkpointing_steps.isdigit() else None)
 
+    def save_hf(dir_, params):
+        """Portable save of (possibly mesh-sharded) params: replicate
+        COLLECTIVELY first — device_get of a non-fully-addressable array
+        throws on multihost — then only process 0 writes."""
+        if process_count > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+            params = jax.jit(
+                lambda p: p,
+                out_shardings=NamedSharding(mesh, PartitionSpec()))(params)
+        if process_index == 0:
+            save_pretrained(dir_, params, config)
+        return params
+
     # Preemption handling (the reference has none, SURVEY.md §5.3): on
     # SIGTERM/SIGINT finish the current step, checkpoint, and exit cleanly.
     import signal
@@ -308,8 +331,8 @@ def main(argv=None):
 
             if checkpointing_steps and completed_steps % checkpointing_steps == 0:
                 ckpt.save(state, f"step_{completed_steps}")
-                save_pretrained(Path(args.output_dir) / f"step_{completed_steps}_hf",
-                                state.params, config)
+                save_hf(Path(args.output_dir) / f"step_{completed_steps}_hf",
+                        state.params)
 
             if completed_steps % args.eval_every_n_steps == 0:
                 eval_metrics = run_eval(eval_step, state, eval_loader, mesh,
@@ -322,7 +345,17 @@ def main(argv=None):
                 visualize(model, state, config, eval_dataset, args,
                           completed_steps, logger=logger)
 
-            if preempted["flag"]:
+            # Multi-host: agree on preemption COLLECTIVELY — signals land at
+            # slightly different times per host, and a host that stops to
+            # checkpoint (a collective) while another enters the next train
+            # step (also a collective) deadlocks the cluster. One tiny
+            # allgather per update step makes the decision global.
+            stop_now = preempted["flag"]
+            if process_count > 1:
+                from jax.experimental import multihost_utils
+                stop_now = bool(multihost_utils.process_allgather(
+                    np.int32(stop_now)).max())
+            if stop_now:
                 ckpt.save(state, f"step_{completed_steps}", wait=True)
                 print(f"preemption checkpoint saved at step {completed_steps}")
                 done = True
@@ -335,15 +368,15 @@ def main(argv=None):
             ckpt.save(state, f"epoch_{epoch}")
 
     ckpt.save(state, "final_checkpt", wait=True)
-    save_pretrained(Path(args.output_dir) / "final_checkpt_hf", state.params,
-                    config)
+    full_params = save_hf(Path(args.output_dir) / "final_checkpt_hf",
+                          state.params)
     if jax.process_index() == 0:
         # reference-ecosystem export: model.safetensors + config.json that
         # the reference's STMaskGIT.from_pretrained can load directly
         # (st_mask_git.py:306-313)
         from tpu1x.train.checkpoint import save_pretrained_torch
         save_pretrained_torch(Path(args.output_dir) / "final_checkpt_hf",
-                              state.params, config)
+                              full_params, config)
     print("training done")
 
 
