@@ -223,7 +223,9 @@ class DecodeEngine:
         single-frame decode calls (N = B = 16) keep the XLA path."""
         cfg = self.config
         impl = impl or self.spatial_attn_impl
-        if impl == "fused" and x_NSC.shape[0] < 32:
+        if impl == "fused" and x_NSC.shape[0] < int(
+                __import__("os").environ.get("TPU1X_SPATIAL_FUSED_MIN_ROWS",
+                                             "32")):
             impl = "xla"  # measured: XLA keeps the single-frame decode call
         if impl == "fused":
             from tpu1x.ops.spatial_block import spatial_block
