@@ -77,26 +77,31 @@ def main():
         # fused-commit rollout: the cache-commit pass rides along with the
         # next frame's step-0 decode (token-exact vs generate_cached,
         # tests/test_serving.py)
-        return generate_cached_fused(
+        tokens, _ = generate_cached_fused(
             functools.partial(engine.prefill, sparams),
             functools.partial(engine.decode_frame, sparams),
             functools.partial(engine.decode_frame_pair, sparams),
             prompt, num_new, rng, config, maskgit_steps=maskgit_steps)
+        # scalar checksum: the reference's gen-time protocol keeps tokens
+        # on-device between frames (evaluate.py:172-175); fetching the 4 MB
+        # token tensor through this dev tunnel's ~25 MB/s relay would tax
+        # the measurement ~0.2 ms/frame of pure transfer
+        return jnp.sum(tokens)
 
     # warmup / compile. NOTE: timing uses device_get, not block_until_ready —
     # the latter returns early on the tunneled axon backend.
     t0 = time.perf_counter()
     print(f"compiling ({jax.default_backend()})...", file=sys.stderr, flush=True)
-    out, _ = gen(sparams, prompt, jax.random.PRNGKey(2))
-    jax.device_get(out)
+    chk = gen(sparams, prompt, jax.random.PRNGKey(2))
+    jax.device_get(chk)
     print(f"compiled in {time.perf_counter() - t0:.1f}s", file=sys.stderr,
           flush=True)
 
     iters = 5
     start = time.perf_counter()
     for i in range(iters):
-        out, _ = gen(sparams, prompt, jax.random.PRNGKey(3 + i))
-    jax.device_get(out)
+        chk = gen(sparams, prompt, jax.random.PRNGKey(3 + i))
+    jax.device_get(chk)
     elapsed = time.perf_counter() - start
 
     frames = iters * num_new * batch
