@@ -24,7 +24,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="genie_138m")
     p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--remat_policy", type=str, default="none")
+    p.add_argument("--remat_policy", type=str, default=None,
+                   help="default: the GenieConfig default (attn_outs)")
     p.add_argument("--gelu_tanh", action="store_true")
     p.add_argument("--no_remat", action="store_true")
     p.add_argument("--logdir", type=str, default=None)
@@ -47,7 +48,8 @@ def main():
     from tpu1x.train.step import create_train_state, make_train_step
 
     config = MODEL_ZOO[args.model]()
-    config.remat_policy = args.remat_policy
+    if args.remat_policy is not None:
+        config.remat_policy = args.remat_policy
     config.gelu_approx = args.gelu_tanh
     if args.no_remat:
         config.remat = False

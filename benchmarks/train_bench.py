@@ -23,8 +23,9 @@ def main():
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--tp", type=int, default=1)
-    p.add_argument("--remat_policy", type=str, default="none",
-                   choices=["none", "dots", "dots_no_batch", "attn_outs"])
+    p.add_argument("--remat_policy", type=str, default=None,
+                   choices=["none", "dots", "dots_no_batch", "attn_outs"],
+                   help="default: the GenieConfig default (attn_outs)")
     p.add_argument("--no_remat", action="store_true")
     p.add_argument("--gelu_tanh", action="store_true")
     args = p.parse_args()
@@ -47,7 +48,8 @@ def main():
     from tpu1x.utils.profiling import device_peak_flops, training_flops
 
     config = MODEL_ZOO[args.model]()
-    config.remat_policy = args.remat_policy
+    if args.remat_policy is not None:
+        config.remat_policy = args.remat_policy
     config.gelu_approx = args.gelu_tanh
     if args.no_remat:
         config.remat = False
