@@ -106,11 +106,15 @@ def main():
 
     frames = iters * num_new * batch
     s_per_frame = elapsed / frames
+    from tpu1x.model_zoo import CONFIG_SOURCE
+    from tpu1x.models.st_maskgit import count_params
     print(json.dumps({
         "metric": "gen_time_s_per_frame",
         "value": round(s_per_frame, 6),
         "unit": "s/frame",
         "vs_baseline": round(BASELINE_S_PER_FRAME / s_per_frame, 3),
+        "params": count_params(params),
+        "config_source": CONFIG_SOURCE["genie_138m"],
     }))
 
 

@@ -78,9 +78,13 @@ def main():
     s, _ = ev.predict_zframe_logits(tokens, jax.random.PRNGKey(9))
     dt_host = time.perf_counter() - t0
 
+    from tpu1x.model_zoo import CONFIG_SOURCE
+    from tpu1x.models.st_maskgit import count_params
     print(json.dumps({
         "metric": "evaluator_throughput",
         "model": args.model,
+        "params": count_params(ev.params),
+        "config_source": CONFIG_SOURCE.get(args.model, "custom"),
         "batch": B,
         "maskgit_steps": args.maskgit_steps,
         "unit": "examples/s",

@@ -38,6 +38,10 @@ def main():
                         "bench.py; int8 halves cache bytes but measured "
                         "neutral at these shapes)")
     args = p.parse_args()
+    if args.num_futures > 1 and args.temperature == 0.0:
+        p.error("--num_futures > 1 with temperature 0 generates K identical "
+                "futures — the reported rollouts/s would count duplicate "
+                "work. Pass --temperature > 0 for diverse futures.")
 
     try:  # persistent compile cache (shared with bench.py)
         import os
@@ -85,10 +89,15 @@ def main():
     jax.device_get(chk)
     dt = (time.perf_counter() - t0) / args.iters
 
+    from tpu1x.model_zoo import CONFIG_SOURCE
+    from tpu1x.models.st_maskgit import count_params
+
     n_rollouts = args.batch * args.num_futures
     result = {
         "metric": "rollout_throughput",
         "model": args.model,
+        "params": count_params(params),
+        "config_source": CONFIG_SOURCE.get(args.model, "custom"),
         "batch": args.batch,
         "num_futures": args.num_futures,
         "temperature": args.temperature,

@@ -89,9 +89,12 @@ def main():
     n_params = count_params(state.params)
     flops = training_flops(n_params, args.batch * config.T * config.S)
     peak = device_peak_flops() or 0
+    from tpu1x.model_zoo import CONFIG_SOURCE
     print(json.dumps({
         "metric": "train_step_time",
         "model": args.model,
+        "params": n_params,
+        "config_source": CONFIG_SOURCE.get(args.model, "custom"),
         "batch": args.batch,
         "value": round(dt, 4),
         "unit": "s/step",

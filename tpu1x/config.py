@@ -84,10 +84,10 @@ class GenieConfig:
     # 16 GB chip without it). Free at inference (no-op outside autodiff).
     remat: bool = True
     # What the per-block checkpoint SAVES: "none" (full recompute, min
-    # memory), "attn_outs" (save the attention kernel outputs + the two
-    # post-attention residual streams — removes both kernel forward re-runs
-    # from the backward at ~100 MB/layer; the fastest measured policy at
-    # GENIE_138M), "dots" (save matmul outputs —
+    # memory), "attn_outs" (save ONLY the two attention kernels' primal
+    # outputs, tagged "attn_out" — removes both kernel forward re-runs
+    # from the backward at ~67 MB/layer at B=8; the fastest measured
+    # policy at GENIE_138M), "dots" (save matmul outputs —
     # jax.checkpoint_policies.checkpoint_dots), "dots_no_batch"
     # (dots_with_no_batch_dims_saveable; OOMs at GENIE_138M B=8).
     remat_policy: str = "attn_outs"

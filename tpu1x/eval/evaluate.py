@@ -209,8 +209,11 @@ def evaluate_dataset(
         samples, factored_logits = evaluator.predict_zframe_logits(input_ids, sub)
         samples = samples[:real]
         factored_logits = factored_logits[:real]
-        frames_per_batch = (cfg.T - 1) * batch_size  # padded rows computed
-        metrics["gen_time"].update((time.time() - start) / frames_per_batch,
+        # normalize by REAL frames (consistent with dec_time below): the
+        # padded tail rows' compute lands in the numerator, slightly
+        # overstating the tail batch's per-frame time rather than
+        # understating it
+        metrics["gen_time"].update((time.time() - start) / ((cfg.T - 1) * real),
                                    real)
 
         loss = compute_loss(input_ids[:real], factored_logits,
@@ -319,8 +322,7 @@ def main():
         from tpu1x.eval.visualize import decode_latents_wrapper
         decode_latents = decode_latents_wrapper(ckpt_path=args.tokenizer_ckpt)
         if args.lpips_ckpt:
-            lpips_fn = make_lpips_fn(
-                None if args.lpips_ckpt == "random" else args.lpips_ckpt)
+            lpips_fn = make_lpips_fn(args.lpips_ckpt)
 
     evaluator = GenieEvaluator(model, params, config,
                                maskgit_steps=args.maskgit_steps,

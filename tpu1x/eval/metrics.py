@@ -72,37 +72,20 @@ def make_lpips_fn(lpips_ckpt=None, net: str = "alex", batch_size: int = 32):
 
     Args:
         lpips_ckpt: torch state dict file (`.pth`/`.pt`, the lpips package's
-            weights) or a flax msgpack; None runs with RANDOM weights —
-            numbers are meaningless, and a loud warning is emitted.
+            weights or a torchvision backbone — for net="vgg" the learned
+            lin heads are vendored in-package from the reference's
+            `vgg.pth`), a flax msgpack, or the explicit string "random" for
+            smoke-test weights (meaningless scores, loud warning). None
+            raises unless the vendored weights fully cover the net.
         net: "alex" | "vgg".
 
     Returns fn(frames_a, frames_b) -> np.ndarray of per-frame distances;
     frames are uint8 NHWC, any leading batch/time dims.
     """
-    import warnings
-
-    from tpu1x.tokenizer.lpips import (LPIPS, load_lpips_alex_params,
-                                       load_lpips_params)
+    from tpu1x.tokenizer.lpips import LPIPS, resolve_lpips_params
 
     model = LPIPS(net=net)
-    if lpips_ckpt is None:
-        warnings.warn(
-            "LPIPS running with RANDOMLY INITIALIZED weights — scores are "
-            "meaningless. Pass the lpips package's checkpoint (e.g. alex.pth) "
-            "for real numbers.", stacklevel=2)
-        dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
-        params = model.init(jax.random.PRNGKey(0), dummy, dummy)["params"]
-    else:
-        lpips_ckpt = str(lpips_ckpt)
-        if lpips_ckpt.endswith(".msgpack"):
-            import flax.serialization
-            with open(lpips_ckpt, "rb") as f:
-                params = flax.serialization.msgpack_restore(f.read())
-        else:
-            import torch
-            sd = torch.load(lpips_ckpt, map_location="cpu", weights_only=True)
-            convert = load_lpips_alex_params if net == "alex" else load_lpips_params
-            params = convert(sd)
+    params = resolve_lpips_params(model, lpips_ckpt, net)
 
     @jax.jit
     def dist(x, y):

@@ -113,6 +113,75 @@ class LPIPS(nn.Module):
         return total  # (B,)
 
 
+def load_vendored_vgg_lin_params() -> dict:
+    """The LEARNED part of VGG-LPIPS: the five 1x1 head weights, converted
+    from the reference's vendored checkpoint
+    (`magvit2/modules/autoencoder/lpips/vgg.pth`, loaded by the reference at
+    `magvit2/modules/losses/lpips.py:28-43`) and shipped in-package as
+    `weights/lpips_vgg_lin.npz`. Only the VGG16 BACKBONE (torchvision
+    pretrained — not redistributable here) still needs external supply."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "weights",
+                        "lpips_vgg_lin.npz")
+    with np.load(path) as z:
+        return {f"lin_{i}": jnp.asarray(z[f"lin_{i}"]) for i in range(5)}
+
+
+def resolve_lpips_params(model: "LPIPS", lpips_ckpt, net: str):
+    """Resolve LPIPS params for `make_lpips_fn`/`build_lpips_apply`.
+
+    - `"random"`: fully random weights (smoke tests only) — loud warning.
+    - a `.msgpack`/torch path: converted; for net="vgg", missing lin heads
+      are filled from the vendored reference weights (so passing a plain
+      torchvision VGG16 `features` state dict yields REAL LPIPS), and a
+      missing backbone is an error.
+    - `None` (default): net="vgg" loads the vendored lin heads but has no
+      backbone -> RuntimeError telling the user what to supply; net="alex"
+      has no vendored weights -> RuntimeError. Falling back to random
+      silently produced meaningless scores, so it is now an explicit opt-in.
+    """
+    import warnings
+
+    def random_params():
+        warnings.warn(
+            "LPIPS running with RANDOMLY INITIALIZED weights — scores are "
+            "meaningless outside smoke tests.", stacklevel=3)
+        dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        return model.init(jax.random.PRNGKey(0), dummy, dummy)["params"]
+
+    if lpips_ckpt == "random":
+        return random_params()
+
+    trunk_key = "vgg" if net == "vgg" else "alex"
+    params = None
+    if lpips_ckpt is not None:
+        lpips_ckpt = str(lpips_ckpt)
+        if lpips_ckpt.endswith(".msgpack"):
+            import flax.serialization
+            with open(lpips_ckpt, "rb") as f:
+                params = flax.serialization.msgpack_restore(f.read())
+        else:
+            import torch
+            sd = torch.load(lpips_ckpt, map_location="cpu", weights_only=True)
+            convert = load_lpips_alex_params if net == "alex" else load_lpips_params
+            params = convert(sd)
+    if net == "vgg":
+        if params is None:
+            params = {trunk_key: {}}
+        # fill missing lin heads from the vendored reference weights
+        vendored = load_vendored_vgg_lin_params()
+        for k, v in vendored.items():
+            params.setdefault(k, v)
+    if params is None or not params.get(trunk_key):
+        raise RuntimeError(
+            f"LPIPS ({net}) has no {trunk_key.upper()} backbone weights. "
+            "Supply --lpips_ckpt with a full LPIPS checkpoint or a "
+            "torchvision backbone state dict (the learned VGG lin heads "
+            "are vendored in-package), or pass 'random' to explicitly run "
+            "a smoke test with meaningless scores.")
+    return params
+
+
 def load_lpips_alex_params(torch_state_dict) -> Any:
     """Convert the lpips package's AlexNet checkpoint to our pytree.
 

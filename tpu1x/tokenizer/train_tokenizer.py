@@ -215,37 +215,20 @@ def build_lpips_apply(lpips_ckpt, net: str = "vgg"):
     vqperceptual.py:152-158, weight 1.0 via VQConfig.perceptual_weight).
 
     Args:
-        lpips_ckpt: vendored torch `vgg.pth` state dict or a flax .msgpack;
-            None initializes the trunk randomly (smoke tests only — a loud
-            warning is emitted).
+        lpips_ckpt: a full LPIPS state dict, a torchvision VGG16 backbone
+            state dict (the learned lin heads are vendored in-package from
+            the reference's `vgg.pth`), a flax .msgpack, or the explicit
+            string "random" for smoke-test weights (loud warning). None
+            raises — the backbone is required for meaningful training.
 
     Returns fn(x, y) of [-1, 1] NHWC floats -> per-image distances; the
     frozen weights live in the closure so gradients flow only through the
     inputs (the reference's frozen-LPIPS semantics, lpips.py:28-41).
     """
-    import warnings
-
-    from tpu1x.tokenizer.lpips import LPIPS, load_lpips_params
+    from tpu1x.tokenizer.lpips import LPIPS, resolve_lpips_params
 
     model = LPIPS(net=net)
-    if lpips_ckpt is None:
-        warnings.warn(
-            "LPIPS perceptual loss with RANDOMLY INITIALIZED weights — "
-            "training dynamics are meaningless outside smoke tests.",
-            stacklevel=2)
-        dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
-        params = model.init(jax.random.PRNGKey(0), dummy, dummy)["params"]
-    else:
-        lpips_ckpt = str(lpips_ckpt)
-        if lpips_ckpt.endswith(".msgpack"):
-            import flax.serialization
-            with open(lpips_ckpt, "rb") as f:
-                params = flax.serialization.msgpack_restore(f.read())
-        else:
-            import torch
-            sd = torch.load(lpips_ckpt, map_location="cpu",
-                            weights_only=True)
-            params = load_lpips_params(sd)
+    params = resolve_lpips_params(model, lpips_ckpt, net)
 
     def apply(x, y):
         return model.apply({"params": params}, x, y)
@@ -326,8 +309,7 @@ def main(argv=None):
         image_size=size, disc_init_batch=init_batch)
     lpips_apply = None
     if args.lpips_ckpt:
-        lpips_apply = build_lpips_apply(
-            None if args.lpips_ckpt == "random" else args.lpips_ckpt)
+        lpips_apply = build_lpips_apply(args.lpips_ckpt)
     elif config.perceptual_weight:
         import warnings
         warnings.warn(

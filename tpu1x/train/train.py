@@ -54,8 +54,11 @@ def parse_args(argv=None):
     p.add_argument("--gradient_checkpointing", action="store_true",
                    help="force remat on (default follows config.remat)")
     p.add_argument("--remat_policy", type=str, default=None,
-                   choices=["none", "dots", "dots_no_batch"],
-                   help="what per-block remat saves (default from config): "
+                   choices=["none", "attn_outs", "dots", "dots_no_batch"],
+                   help="what per-block remat saves (default from config, "
+                        "'attn_outs'): 'attn_outs' keeps the attention "
+                        "kernels' outputs (drops both kernel fwd re-runs "
+                        "from the backward — fastest measured policy); "
                         "'dots' keeps matmul outputs, recomputing only "
                         "elementwise ops on backward")
     p.add_argument("--learning_rate", type=float, default=1e-4)
@@ -258,15 +261,20 @@ def main(argv=None):
     checkpointing_steps = (int(args.checkpointing_steps)
                            if args.checkpointing_steps.isdigit() else None)
 
+    # Hoisted so repeated checkpoints reuse one compiled program (a fresh
+    # jax.jit per save recompiles every time).
+    from jax.sharding import NamedSharding, PartitionSpec
+    replicate_params = jax.jit(
+        lambda p: p, out_shardings=NamedSharding(mesh, PartitionSpec()))
+
     def save_hf(dir_, params):
         """Portable save of (possibly mesh-sharded) params: replicate
         COLLECTIVELY first — device_get of a non-fully-addressable array
-        throws on multihost — then only process 0 writes."""
+        throws on multihost — then only process 0 writes. NOTE: full
+        per-device replication; models that NEED tp to fit should rely on
+        the Orbax sharded checkpointer instead (train/checkpoint.py)."""
         if process_count > 1:
-            from jax.sharding import NamedSharding, PartitionSpec
-            params = jax.jit(
-                lambda p: p,
-                out_shardings=NamedSharding(mesh, PartitionSpec()))(params)
+            params = replicate_params(params)
         if process_index == 0:
             save_pretrained(dir_, params, config)
         return params
@@ -460,8 +468,7 @@ def _decode_and_log_figures(pred_tokens, gtruth_tokens, num_prompt, vis_dir,
         np.save(vis_dir / "pred_vs_gtruth.npy", grid)
 
     if getattr(args, "lpips_ckpt", None):
-        lpips_fn = make_lpips_fn(
-            None if args.lpips_ckpt == "random" else args.lpips_ckpt)
+        lpips_fn = make_lpips_fn(args.lpips_ckpt)
         lpips_val = float(np.mean(lpips_fn(gtruth_frames, pred_frames)))
         if logger is not None:
             logger.log({"lpips": lpips_val}, step=step)
