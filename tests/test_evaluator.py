@@ -138,3 +138,24 @@ def test_evaluate_dataset_covers_tail_batch(setup, tmp_path):
     assert r_tail["count"] == 3 == r_full["count"]
     np.testing.assert_allclose(r_tail["loss"], r_full["loss"], rtol=2e-4)
     np.testing.assert_allclose(r_tail["acc"], r_full["acc"], rtol=2e-4)
+
+
+def test_device_metrics_match_host_path(setup):
+    """predict_metrics (device-side CE/acc, scalar fetch) must equal the
+    host computation over fetched logits (VERDICT r4 #3)."""
+    cfg, model, params, tokens = setup
+    ev = GenieEvaluator(model, params, cfg, maskgit_steps=2, use_cache=True)
+    rng = jax.random.PRNGKey(7)
+    samples_d, loss_B, acc_B = ev.predict_metrics(tokens, rng)
+    samples_h, logits_h = ev.predict_zframe_logits(tokens, rng)
+    np.testing.assert_array_equal(samples_d, samples_h)
+    loss_host = compute_loss(tokens, logits_h, cfg.num_factored_vocabs,
+                             cfg.factored_vocab_size)
+    np.testing.assert_allclose(float(np.mean(loss_B)), loss_host, rtol=1e-5)
+    B = tokens.shape[0]
+    h = cfg.latent_side_len
+    gt = tokens.reshape(B, cfg.T, h, h)
+    acc_host = token_accuracy(gt, samples_h)
+    np.testing.assert_allclose(float(np.mean(acc_B)), acc_host, rtol=1e-6)
+    # per-example accs are genuinely per-example (not a broadcast scalar)
+    assert loss_B.shape == (B,) and acc_B.shape == (B,)

@@ -120,16 +120,51 @@ class STBlock(nn.Module):
     def _forward(self, x_BTSC, collect_kv: bool):
         from jax.ad_checkpoint import checkpoint_name
 
+        from tpu1x.ops.attention import resolve_attn_impl
+
         # Spatial attention: (B, T) batch dims, sequence axis S. Bidirectional.
-        h = self._n1(x_BTSC).astype(self.dtype)
-        x = x_BTSC + self.spatial_attn(h, causal=False,
-                                       deterministic=self.deterministic)
-        # Named for the "attn_outs" remat policy: both attention kernels'
-        # custom vjps carry (q, k, v) residuals only, so saving the two
-        # post-attention residual streams removes the kernels' forward
-        # re-runs from the backward pass (~45 ms/step at GENIE_138M B=8)
-        # for 2 x 33.5 MB/layer of HBM.
-        x = checkpoint_name(x, "x_spatial")
+        use_fused_spatial = (
+            resolve_attn_impl(self.attn_impl) == "pallas"
+            and not self.qk_norm
+            and (self.deterministic or self.attn_drop == 0.0)
+            and not self.is_initializing())
+        if use_fused_spatial:
+            # Monolithic fused sub-layer (LN + qkv + all-heads attention +
+            # proj + residual in ONE Pallas program per row, heads-flat,
+            # custom VJP with in-kernel weight grads) — removes the
+            # head-split layout copies and the stacked weight-grad fusions
+            # that the r4 profile priced at ~130 ms/step at GENIE_138M B=8
+            # (tpu1x/ops/spatial_train_block.py).
+            from tpu1x.ops.spatial_train_block import spatial_train_block
+            B, T, S, C = x_BTSC.shape
+            sa = self.spatial_attn
+            pq = sa.qkv.variables["params"]
+            pp = sa.proj.variables["params"]
+            n1 = self.norm1.variables["params"]
+            out = spatial_train_block(
+                x_BTSC.reshape(B * T, S, C).astype(self.dtype),
+                pq["kernel"], pp["kernel"],
+                bqkv=pq.get("bias"), bproj=pp.get("bias"),
+                ln_scale=n1["scale"], ln_bias=n1["bias"],
+                num_heads=self.num_heads, scale=sa.scale)
+            # saveable under "attn_outs": the custom vjp's residuals are
+            # (x, weights) only — x is the LAYER input (the scan carry), so
+            # saving this output removes the whole sub-layer from the remat
+            # forward re-run.
+            x = checkpoint_name(out.reshape(B, T, S, C), "attn_out")
+        else:
+            h = self._n1(x_BTSC).astype(self.dtype)
+            x = x_BTSC + self.spatial_attn(h, causal=False,
+                                           deterministic=self.deterministic)
+        # The "attn_outs" remat policy saves ONLY the tensors tagged
+        # "attn_out" (the two attention kernels' primal outputs — here
+        # inside spatial_attn, ops/attention.py:151 (or the fused block
+        # above), and below on the temporal kernel). Both kernels' custom
+        # vjps carry (q, k, v) residuals only, so those saves remove the
+        # kernel forward re-runs from the backward pass (~45 ms/step at
+        # GENIE_138M B=8) for 2 x 33.5 MB/layer of HBM. The residual
+        # streams themselves are deliberately NOT saved (cheap to
+        # recompute, 2x the HBM if kept).
 
         # Temporal attention: causal over T. NOTE: no pre-norm (reference
         # st_transformer.py:78).
@@ -150,7 +185,6 @@ class STBlock(nn.Module):
                                      num_heads=self.num_heads, causal=True)
             out = checkpoint_name(out, "attn_out")
             x = x + self.temporal_attn.proj(out)
-            x = checkpoint_name(x, "x_temporal")
             h = self._n2(x).astype(self.dtype)
             x = x + self.mlp(h)
             return x, None
@@ -169,7 +203,6 @@ class STBlock(nn.Module):
         else:
             x_BSTC = x_BSTC + self.temporal_attn(
                 x_BSTC, causal=True, deterministic=self.deterministic)
-            x_BSTC = checkpoint_name(x_BSTC, "x_temporal")
             kv = None
 
         # MLP (in the (B, S, T, C) layout like the reference; same math).
@@ -296,11 +329,6 @@ class STTransformerDecoder(nn.Module):
             "dots": jax.checkpoint_policies.checkpoint_dots,
             "dots_no_batch":
                 jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-            # save the two post-attention residual streams (see the
-            # checkpoint_name calls in STBlock._forward): the attention
-            # kernels' backward passes carry (q, k, v) residuals only, so
-            # these two saves remove both kernel forward re-runs from the
-            # backward pass at 2 x 33.5 MB/layer (GENIE_138M B=8)
             # kernel outputs only: the post-attention residual streams
             # rebuild from them with one proj matmul each, and halving the
             # save set (67 -> 33.5 MB/layer at B=8) is what lets B=16 fit
