@@ -73,9 +73,18 @@ def main():
     jax.device_get(chk)
     dt_dev = (time.perf_counter() - t0) / args.iters
 
-    # full host round-trip (includes the logits fetch)
+    # end-to-end CLI path: device-side CE/acc, ~250 KB fetched per batch
+    # (the evaluate_dataset default since r5 — VERDICT r4 #3)
+    ev.predict_metrics(tokens, jax.random.PRNGKey(8))  # warm
     t0 = time.perf_counter()
-    s, _ = ev.predict_zframe_logits(tokens, jax.random.PRNGKey(9))
+    for i in range(args.iters):
+        s, loss_B, acc_B = ev.predict_metrics(tokens,
+                                              jax.random.PRNGKey(9 + i))
+    dt_e2e = (time.perf_counter() - t0) / args.iters
+
+    # legacy full-logits fetch (only taken under --save_outputs_dir now)
+    t0 = time.perf_counter()
+    s, _ = ev.predict_zframe_logits(tokens, jax.random.PRNGKey(99))
     dt_host = time.perf_counter() - t0
 
     from tpu1x.model_zoo import CONFIG_SOURCE
@@ -88,10 +97,14 @@ def main():
         "batch": B,
         "maskgit_steps": args.maskgit_steps,
         "unit": "examples/s",
-        "value": round(B / dt_dev, 2),
+        "value": round(B / dt_e2e, 2),
+        "examples_per_s_device_only": round(B / dt_dev, 2),
         "s_per_batch_device": round(dt_dev, 3),
-        "examples_per_s_with_host_fetch": round(B / dt_host, 2),
-        "note": "host-fetch number is relay-bound on the dev tunnel",
+        "s_per_batch_end_to_end": round(dt_e2e, 3),
+        "examples_per_s_with_logits_fetch": round(B / dt_host, 2),
+        "note": "value = end-to-end device-metrics path (the CLI default); "
+                "logits-fetch number is relay-bound on the dev tunnel and "
+                "only taken under --save_outputs_dir",
     }))
 
 

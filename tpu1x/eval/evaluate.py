@@ -64,12 +64,14 @@ class GenieEvaluator:
             use_serving = (jax.default_backend() == "tpu"
                            and config.scan_layers)
         self._serving = None
-        serving_params = params
         if use_cache and use_serving:
             from tpu1x.serving import DecodeEngine, prepare_serving_params
             self._serving = DecodeEngine(config)
-            serving_params = prepare_serving_params(params)
-            self.params = serving_params
+            self.params = prepare_serving_params(params)
+        else:
+            # commit host (numpy) checkpoint leaves to the device ONCE —
+            # numpy jit arguments are re-uploaded on every call
+            self.params = jax.tree_util.tree_map(jnp.asarray, self.params)
 
         # params enter as jit arguments (closing over them would bake the
         # weights into the compiled program as constants — huge compiles)

@@ -66,6 +66,11 @@ def prepare_serving_params(params: Dict[str, Any],
     mixed-precision policy: fp32 LN/softmax/head, bf16 matmuls).
     """
     def cast(path, x):
+        # jnp.asarray COMMITS host (numpy) leaves to the device: checkpoint
+        # loaders return numpy, and numpy jit arguments are re-uploaded on
+        # EVERY call (~11 s/call for 138M weights over a 25 MB/s dev relay;
+        # measured in the round-5 evaluator-CLI debugging)
+        x = jnp.asarray(x)
         p = "/".join(str(getattr(k, "key", k)) for k in path)
         if "norm" in p.lower() or "out_x_proj" in p:
             return x
