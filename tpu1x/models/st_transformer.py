@@ -168,15 +168,32 @@ class STBlock(nn.Module):
 
         # Temporal attention: causal over T. NOTE: no pre-norm (reference
         # st_transformer.py:78).
-        from tpu1x.ops.attention import resolve_attn_impl
         use_fused_temporal = (
             resolve_attn_impl(self.attn_impl) == "pallas"
             and not self.qk_norm and not collect_kv
             and (self.deterministic or self.attn_drop == 0.0))
+        if use_fused_temporal and not self.is_initializing():
+            # (r5) monolithic fused temporal sub-layer: qkv + causal
+            # E-matrix attention + proj + residual in one Pallas program
+            # per (row, S-tile), custom VJP with in-kernel weight grads —
+            # q/k/v and their grads never touch HBM
+            # (tpu1x/ops/temporal_train_block.py).
+            from tpu1x.ops.temporal_train_block import temporal_train_block
+            ta = self.temporal_attn
+            pq = ta.qkv.variables["params"]
+            pp = ta.proj.variables["params"]
+            out = temporal_train_block(
+                x.astype(self.dtype), pq["kernel"], pp["kernel"],
+                bqkv=pq.get("bias"), bproj=pp.get("bias"),
+                num_heads=self.num_heads, scale=ta.scale)
+            x = checkpoint_name(out, "attn_out")
+            h = self._n2(x).astype(self.dtype)
+            x = x + self.mlp(h)
+            return x, None
         if use_fused_temporal:
-            # spatial-major fused kernel: no (B, S, T, C) transpose, no
-            # head-split layouts, no HBM (T, T) logits — the measured
-            # dominant cost of the train step (tpu1x/ops/temporal_attention)
+            # init-time path (params must be created through the modules):
+            # the r3 fused attention kernel with XLA qkv/proj
+            # (tpu1x/ops/temporal_attention)
             from tpu1x.ops.temporal_attention import temporal_attention
             qkv = self.temporal_attn.qkv(x)  # (B, T, S, 3C)
             q, k, v = jnp.split(qkv, 3, axis=-1)

@@ -143,9 +143,17 @@ class DecodeEngine:
         self.layer_fusion = os.environ.get(
             "TPU1X_DECODE_FUSION",
             "block" if self.attn_impl == "pallas" else "op")
+        # exact-erf GELU cannot lower inside Mosaic kernels ON TPU (erf/
+        # erfc are unimplemented Pallas TPU primitives — caught by the r5
+        # tpu_kernel_check GELU-agreement check), so TPU1X_GELU=exact takes
+        # the per-op path there, where XLA provides erf. Off-TPU the block
+        # kernels run in interpret mode where erf is available (the fp32
+        # CPU parity suites exercise the block path with exact GELU).
         self._block_ok = (self.layer_fusion == "block"
                           and self.attn_impl == "pallas"
-                          and cache_dtype == "bf16" and not config.qk_norm)
+                          and cache_dtype == "bf16" and not config.qk_norm
+                          and (self.gelu == "tanh"
+                               or jax.default_backend() != "tpu"))
         if (config.qk_norm and self.attn_impl == "pallas"
                 and self.layer_fusion == "block"):
             import warnings
