@@ -244,6 +244,39 @@ def main():
                            "dln_b"), g_got, g_want):
         ok &= check(f"spatial_train_block_bwd.{nm}", gg, gw, rtol=rt[nm])
 
+    # fused MLP TRAIN block VJP (r5 kernel): exact-erf GELU via the
+    # in-kernel rational approximation
+    from tpu1x.ops.mlp_train_block import (mlp_train_block,
+                                           mlp_train_block_reference)
+    wfc1_32 = np.asarray(wfc1, np.float32)
+    wfc2_32 = np.asarray(wfc2, np.float32)
+    bfc1_32 = 0.02 * np.random.RandomState(0).randn(4 * C).astype(np.float32)
+    bfc2_32 = 0.02 * np.random.RandomState(1).randn(C).astype(np.float32)
+
+    def mlp_loss(fn):
+        def f(x_, w1, w2, b1, b2, s_, b_):
+            out = fn(x_, w1, w2, bfc1=b1, bfc2=b2, ln_scale=s_, ln_bias=b_)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+        return f
+
+    margs = (xs8, jnp.asarray(wfc1_32), jnp.asarray(wfc2_32),
+             jnp.asarray(bfc1_32), jnp.asarray(bfc2_32), jnp.asarray(lns),
+             jnp.asarray(lnb))
+    out_got = mlp_train_block(margs[0], margs[1], margs[2], bfc1=margs[3],
+                              bfc2=margs[4], ln_scale=margs[5],
+                              ln_bias=margs[6])
+    out_want = mlp_train_block_reference(
+        margs[0], margs[1], margs[2], bfc1=margs[3], bfc2=margs[4],
+        ln_scale=margs[5], ln_bias=margs[6])
+    ok &= check("mlp_train_block[fwd]", out_got, out_want, rtol=2e-2)
+    g_got = jax.grad(mlp_loss(mlp_train_block),
+                     argnums=tuple(range(7)))(*margs)
+    g_want = jax.grad(mlp_loss(mlp_train_block_reference),
+                      argnums=tuple(range(7)))(*margs)
+    for nm, gg, gw in zip(("dx", "dwfc1", "dwfc2", "dbfc1", "dbfc2",
+                           "dln_s", "dln_b"), g_got, g_want):
+        ok &= check(f"mlp_train_block_bwd.{nm}", gg, gw, rtol=2e-2)
+
     # ---- bf16 serving GELU: tanh-vs-exact deviation (ADVICE r4) ---------
     # serving defaults to tanh GELU in bf16 (~1 ms/frame cheaper). Quantify
     # the divergence at the LOGITS level on one decode_frame call: the

@@ -187,8 +187,28 @@ class STBlock(nn.Module):
                 bqkv=pq.get("bias"), bproj=pp.get("bias"),
                 num_heads=self.num_heads, scale=ta.scale)
             x = checkpoint_name(out, "attn_out")
-            h = self._n2(x).astype(self.dtype)
-            x = x + self.mlp(h)
+            if self.mlp_drop == 0.0 or self.deterministic:
+                # (r5) fused MLP sub-layer: LN2 + fc1 + GELU + fc2 +
+                # residual in one program with in-kernel weight grads —
+                # the (S, 4C) hidden never touches HBM
+                # (tpu1x/ops/mlp_train_block.py; exact erf via the
+                # in-kernel rational approximation).
+                from tpu1x.ops.mlp_train_block import mlp_train_block
+                pm = self.mlp.variables["params"]
+                n2 = (None if self.qk_norm
+                      else self.norm2.variables["params"])
+                B, T, S, C = x.shape
+                x = mlp_train_block(
+                    x.reshape(B * T, S, C).astype(self.dtype),
+                    pm["fc1"]["kernel"], pm["fc2"]["kernel"],
+                    bfc1=pm["fc1"].get("bias"),
+                    bfc2=pm["fc2"].get("bias"),
+                    ln_scale=None if n2 is None else n2["scale"],
+                    ln_bias=None if n2 is None else n2["bias"],
+                    gelu_approx=self.gelu_approx).reshape(B, T, S, C)
+            else:
+                h = self._n2(x).astype(self.dtype)
+                x = x + self.mlp(h)
             return x, None
         if use_fused_temporal:
             # init-time path (params must be created through the modules):
