@@ -268,14 +268,18 @@ def main():
     out_want = mlp_train_block_reference(
         margs[0], margs[1], margs[2], bfc1=margs[3], bfc2=margs[4],
         ln_scale=margs[5], ln_bias=margs[6])
-    ok &= check("mlp_train_block[fwd]", out_got, out_want, rtol=2e-2)
+    ok &= check("mlp_train_block[fwd]", out_got, out_want, rtol=8.3e-3)
     g_got = jax.grad(mlp_loss(mlp_train_block),
                      argnums=tuple(range(7)))(*margs)
     g_want = jax.grad(mlp_loss(mlp_train_block_reference),
                       argnums=tuple(range(7)))(*margs)
+    # 1.25x the observed v5e error per output (floor 1e-4 relative for the
+    # near-exact reductions)
+    rt = {"dx": 6.6e-3, "dwfc1": 3.9e-3, "dwfc2": 3.7e-3, "dbfc1": 1.9e-4,
+          "dbfc2": 1.0e-4, "dln_s": 1.8e-4, "dln_b": 1.6e-4}
     for nm, gg, gw in zip(("dx", "dwfc1", "dwfc2", "dbfc1", "dbfc2",
                            "dln_s", "dln_b"), g_got, g_want):
-        ok &= check(f"mlp_train_block_bwd.{nm}", gg, gw, rtol=2e-2)
+        ok &= check(f"mlp_train_block_bwd.{nm}", gg, gw, rtol=rt[nm])
 
     # ---- bf16 serving GELU: tanh-vs-exact deviation (ADVICE r4) ---------
     # serving defaults to tanh GELU in bf16 (~1 ms/frame cheaper). Quantify

@@ -181,8 +181,11 @@ def test_cli_lpips_perceptual_term_nonzero(tmp_path):
     state, model, disc = create_tokenizer_state(
         config, tx, tx, rng, image_size=32, disc_init_batch=images)
 
-    with pytest.warns(UserWarning, match="RANDOMLY INITIALIZED"):
-        lpips_apply = build_lpips_apply(None)
+    # random weights are an explicit opt-in since r5; None hard-errors
+    with pytest.raises(RuntimeError, match="backbone"):
+        build_lpips_apply(None)
+    with pytest.warns(UserWarning, match="RANDOM"):
+        lpips_apply = build_lpips_apply("random")
     step = make_tokenizer_train_step(model, disc, tx, tx, config,
                                      lpips_apply=lpips_apply)
     _, metrics = step(state, images)
