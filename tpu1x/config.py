@@ -75,9 +75,9 @@ class GenieConfig:
     attn_impl: str = "auto"
     # MLP activation: the reference's torch nn.GELU is exact erf
     # (st_transformer.py:7-25), the default. True switches training to the
-    # tanh approximation — measured ~8% faster a step at GENIE_138M (the
-    # erf backward's exp dominates the MLP bwd fusion) with ~3e-4 activation
-    # delta; a deliberate, opt-in deviation.
+    # tanh approximation — with the r5 fused MLP kernel (in-kernel rational
+    # erf) the gap is down to ~5% a step at GENIE_138M (0.325 vs 0.341
+    # s/step) with ~3e-4 activation delta; a deliberate, opt-in deviation.
     gelu_approx: bool = False
     # jax.checkpoint each ST block: backward recomputes instead of saving all
     # L layers' attention/MLP activations (32 layers x B=4 already OOMs a

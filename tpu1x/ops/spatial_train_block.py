@@ -327,9 +327,11 @@ def _spatial_bwd(x, dout, wqkv, wproj, bqkv, ln_scale, ln_bias, *,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _block_diff(num_heads, scale, interpret, x, wqkv, wproj, bqkv, bproj,
                 ln_scale, ln_bias):
+    import os
+    rows = int(os.environ.get("TPU1X_SPATIAL_ROWS", "1"))
     return spatial_block(x, wqkv, wproj, num_heads=num_heads, scale=scale,
                          bqkv=bqkv, bproj=bproj, ln_scale=ln_scale,
-                         ln_bias=ln_bias, rows=1, interpret=interpret)
+                         ln_bias=ln_bias, rows=rows, interpret=interpret)
 
 
 def _block_fwd(num_heads, scale, interpret, x, wqkv, wproj, bqkv, bproj,

@@ -310,11 +310,21 @@ def _ttb_bwd(x, dout, wqkv, wproj, bqkv, *, num_heads, scale, qkv_bias,
     return dx, dwqkv, dwproj, dbqkv, dbproj
 
 
+def _tile_s() -> int:
+    """S-tile per program. Measured on v5e (full train step): tile 32 beats
+    16 at both scales (138M B=8: 0.3293 vs 0.3411 s/step; 35M B=16: 0.2508
+    vs 0.2558) and tile 64 OOMs VMEM at C=512 (35M-only gain is noise:
+    0.2502). TPU1X_TTB_TILE overrides for tuning."""
+    import os
+    return int(os.environ.get("TPU1X_TTB_TILE", "32"))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _ttb_diff(num_heads, scale, interpret, x, wqkv, wproj, bqkv, bproj):
     return _ttb_fwd(x, wqkv, wproj, bqkv, bproj, num_heads=num_heads,
                     scale=scale, qkv_bias=bqkv is not None,
-                    proj_bias=bproj is not None, interpret=interpret)
+                    proj_bias=bproj is not None, tile_s=_tile_s(),
+                    interpret=interpret)
 
 
 def _ttb_diff_fwd(num_heads, scale, interpret, x, wqkv, wproj, bqkv, bproj):
@@ -327,7 +337,7 @@ def _ttb_diff_bwd(num_heads, scale, interpret, res, dout):
     dx, dwqkv, dwproj, dbqkv, dbproj = _ttb_bwd(
         x, dout, wqkv, wproj, bqkv, num_heads=num_heads, scale=scale,
         qkv_bias=bqkv is not None, proj_bias=bproj is not None,
-        interpret=interpret)
+        tile_s=_tile_s(), interpret=interpret)
 
     def like(g, p):
         return None if p is None else g.astype(p.dtype)
