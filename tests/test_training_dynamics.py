@@ -70,7 +70,13 @@ def make_batches(cfg, steps, batch, seed=0, pool=4):
 
 
 @pytest.mark.slow
-def test_200_step_loss_trajectories_match():
+@pytest.mark.parametrize("attn_impl", ["xla", "pallas"])
+def test_200_step_loss_trajectories_match(attn_impl, monkeypatch):
+    """attn_impl="pallas" runs the full fused train-block kernel trio
+    (spatial/temporal/MLP custom VJPs, interpret mode on CPU) — proving
+    the kernels' GRADIENTS reproduce the real torch reference's training
+    dynamics end to end, not just single-step parity."""
+    monkeypatch.setenv("TPU1X_ATTN_IMPL", attn_impl)
     fields = dict(TINY)
     ref_cfg = RefGenieConfig(**fields)
     torch.manual_seed(0)
