@@ -197,18 +197,33 @@ def test_cli_lpips_perceptual_term_nonzero(tmp_path):
 
 
 def test_cli_main_accepts_lpips_flag(tmp_path):
-    """End-to-end CLI smoke: --lpips_ckpt random trains and saves."""
-    import numpy as np
+    """End-to-end CLI smoke: --lpips_ckpt random trains and saves.
 
-    from tpu1x.tokenizer import train_tokenizer
+    Runs in a SUBPROCESS (true CLI semantics): in-process, a second VGG
+    LPIPS jit after a long torch-heavy suite segfaults in the CPU conv
+    native libs (order-dependent torch/jax OpenMP interaction — observed
+    only inside the full suite, never standalone)."""
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
 
     imgs = (np.random.RandomState(1).rand(4, 32, 32, 3) * 255).astype(
         np.uint8)
     npy = tmp_path / "imgs.npy"
     np.save(npy, imgs)
     out = tmp_path / "tok"
-    train_tokenizer.main([
-        "--images_npy", str(npy), "--output_dir", str(out),
-        "--batch_size", "2", "--max_train_steps", "2",
-        "--lpips_ckpt", "random"])
+    argv = ["--images_npy", str(npy), "--output_dir", str(out),
+            "--batch_size", "2", "--max_train_steps", "2",
+            "--lpips_ckpt", "random"]
+    # jax.config (not env) forces the cpu platform — the environment's
+    # sitecustomize would override JAX_PLATFORMS and grab the real TPU
+    code = ("import jax; jax.config.update('jax_platforms','cpu'); "
+            f"import sys; sys.argv = {['x'] + argv!r}; "
+            "import runpy; runpy.run_module("
+            "'tpu1x.tokenizer.train_tokenizer', run_name='__main__')")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, env=dict(os.environ), timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
     assert (out / "tokenizer.msgpack").exists() or any(out.iterdir())
